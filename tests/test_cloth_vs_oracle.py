@@ -1,0 +1,185 @@
+"""Golden-trajectory fidelity tests (BASELINE.json configs[0]): the jitted
+TPU stencil path must match the CPU edge-list oracle at 1e-4 on a 16×16
+cloth + globe-sphere collision scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wgpu_physics_engine_tpu.core import config as cfg
+from wgpu_physics_engine_tpu.core.state import ClothParams, ClothState, init_cloth_state
+from wgpu_physics_engine_tpu.models import cloth, oracle
+
+
+def to_grid(flat: np.ndarray, h: int, w: int) -> np.ndarray:
+    """[N,3] row-major → [3,H,W]."""
+    return np.transpose(flat.reshape(h, w, 3), (2, 0, 1))
+
+
+def from_grid(g) -> np.ndarray:
+    """[3,H,W] → [N,3]."""
+    g = np.asarray(g)
+    return np.transpose(g, (1, 2, 0)).reshape(-1, 3)
+
+
+@pytest.fixture(scope="module")
+def scene16():
+    c = cfg.ClothConfig(height=16, width=16)
+    scene, pos0, vel0 = oracle.make_scene(c)
+    return c, scene, pos0, vel0
+
+
+def test_initial_state_matches_oracle(scene16):
+    c, scene, pos0, vel0 = scene16
+    state = init_cloth_state(c)
+    np.testing.assert_allclose(from_grid(state.pos), pos0, atol=1e-6)
+    np.testing.assert_array_equal(from_grid(state.vel), vel0)
+
+
+def test_single_substep_matches(scene16):
+    c, scene, pos0, vel0 = scene16
+    dt = 1.0 / 480.0
+    ref_pos, ref_vel = oracle.substep(scene, pos0.copy(), vel0.copy(), dt)
+
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    out = jax.jit(cloth.substep)(state, params, jnp.float32(dt))
+    np.testing.assert_allclose(from_grid(out.pos), ref_pos, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(from_grid(out.vel), ref_vel, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_steps", [50, 1230])
+def test_trajectory_matches_at_1e4(scene16, n_steps):
+    """BASELINE fidelity bar: trajectory match vs CPU reference at 1e-4
+    (fp32), through free fall, impact, and into the contact/friction phase.
+
+    The 16×16 cloth spawns at y=40 over a R=10 globe; free fall lasts
+    ~2.47 s (first hard projection fires at substep ~1184 at 480 Hz), so
+    1230 steps covers impact, penalty contact, friction, and projection.
+
+    Note on horizons: the contact phase is chaotic — a 1-ulp fp32
+    difference at first projection amplifies ~×1.05/substep — so NO two
+    fp32 implementations stay within 1e-4 arbitrarily long after contact
+    unless bitwise identical. The contract is therefore: (a) this
+    trajectory bound through impact +~60 contact steps, (b) step-local
+    fidelity from ANY state incl. deep contact
+    (test_deep_contact_single_step_resync), and (c) long-horizon
+    statistical agreement (test_long_horizon_statistics)."""
+    c, scene, pos0, vel0 = scene16
+    dt = 1.0 / 480.0
+    ref_pos, ref_vel = oracle.simulate(scene, pos0.copy(), vel0.copy(), dt, n_steps)
+
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    out = cloth.multi_step(state, params, jnp.float32(dt), n_steps)
+    got_pos = from_grid(out.pos)
+    got_vel = from_grid(out.vel)
+    assert np.all(np.isfinite(got_pos))
+    np.testing.assert_allclose(got_pos, ref_pos, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(got_vel, ref_vel, atol=1e-3, rtol=1e-3)
+
+
+def test_deep_contact_single_step_resync(scene16):
+    """Step-local fidelity: from the oracle's own state deep in the contact
+    phase (t = 3.1 s, cloth draped on the globe), one TPU substep matches
+    the oracle substep.
+
+    Branch-boundary caveat (inherent to the REFERENCE semantics): the hard
+    projection (compute_movement.wgsl:143-158) snaps particles to exactly
+    ``dist == min_dist``, and the next step's contact test ``dist < min_dist``
+    (:110) then sits on a knife edge decided by the platform's sqrt rounding
+    (XLA's sqrt is within 1 ulp of NumPy's but not identical). Because the
+    reference's friction force is *discontinuous* at zero penetration (it
+    clamps against μ|Ro_n| of the full resultant, :129), a 1-ulp flip there
+    legitimately changes the force by O(μ|Ro|). The contract is therefore:
+    1e-6 agreement for every particle NOT on the boundary, and agreement up
+    to the friction discontinuity bound for the measure-zero boundary set.
+    """
+    c, scene, pos0, vel0 = scene16
+    dt = 1.0 / 480.0
+    pos, vel = oracle.simulate(scene, pos0.copy(), vel0.copy(), dt, 1500)
+    ref_pos, ref_vel = oracle.substep(scene, pos.copy(), vel.copy(), dt)
+
+    params = ClothParams.from_config(c)
+    state = ClothState(pos=jnp.asarray(to_grid(pos, 16, 16)),
+                       vel=jnp.asarray(to_grid(vel, 16, 16)))
+    out = jax.jit(cloth.substep)(state, params, jnp.float32(dt))
+    got_pos, got_vel = from_grid(out.pos), from_grid(out.vel)
+
+    min_dist = np.float32(c.globe_radius) + np.float32(c.particle_radius)
+    d = np.linalg.norm(pos, axis=1)
+    on_boundary = np.abs(d - min_dist) < 1e-4
+    strict = ~on_boundary
+    assert strict.sum() > 0
+    np.testing.assert_allclose(got_pos[strict], ref_pos[strict], atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(got_vel[strict], ref_vel[strict], atol=1e-5, rtol=1e-5)
+    # boundary set: bounded by the friction discontinuity over one dt
+    np.testing.assert_allclose(got_pos[on_boundary], ref_pos[on_boundary],
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(got_vel[on_boundary], ref_vel[on_boundary],
+                               atol=2e-1, rtol=1e-2)
+
+
+def test_long_horizon_statistics(scene16):
+    """Long-horizon statistical agreement (chaos-tolerant): after 4.2 s the
+    two implementations agree on the ensemble: mean/min particle radius and
+    mean height within 1e-3 relative."""
+    c, scene, pos0, vel0 = scene16
+    dt = 1.0 / 480.0
+    ref_pos, _ = oracle.simulate(scene, pos0.copy(), vel0.copy(), dt, 2000)
+    params = ClothParams.from_config(c)
+    out = cloth.multi_step(init_cloth_state(c), params, jnp.float32(dt), 2000)
+    got_pos = from_grid(out.pos)
+    r_ref = np.linalg.norm(ref_pos, axis=1)
+    r_got = np.linalg.norm(got_pos, axis=1)
+    np.testing.assert_allclose(r_got.mean(), r_ref.mean(), rtol=1e-3)
+    np.testing.assert_allclose(r_got.min(), r_ref.min(), rtol=1e-3)
+    np.testing.assert_allclose(got_pos[:, 1].mean(), ref_pos[:, 1].mean(), rtol=2e-3)
+
+
+def test_cloth_drapes_and_contacts(scene16):
+    """Physical sanity: after 5 simulated seconds (free fall takes ~2.5 s)
+    the cloth rests on/near the globe surface."""
+    c, scene, pos0, vel0 = scene16
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    out = cloth.multi_step(state, params, jnp.float32(1.0 / 480.0), 2400)
+    r = np.linalg.norm(from_grid(out.pos), axis=1)
+    assert np.all(np.isfinite(r))
+    assert r.min() >= c.globe_radius + c.particle_radius - 1e-3
+    # center of the cloth is in contact
+    assert r.min() < c.globe_radius + 1.0
+
+
+def test_pinned_corners_hold():
+    """Fixed-pin extension (BASELINE configs[1]): pinned corners never move
+    and the interior sags below them."""
+    c = cfg.ClothConfig(height=12, width=12)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    pin = np.zeros((12, 12), bool)
+    pin[0, 0] = pin[0, -1] = pin[-1, 0] = pin[-1, -1] = True
+    state = state._replace(pin_mask=jnp.asarray(pin), pin_pos=state.pos)
+    out = cloth.multi_step(state, params, jnp.float32(1.0 / 480.0), 480)
+    pos = np.asarray(out.pos)
+    init = np.asarray(state.pos)
+    for r, cc in [(0, 0), (0, -1), (-1, 0), (-1, -1)]:
+        np.testing.assert_array_equal(pos[:, r, cc], init[:, r, cc])
+    assert pos[1, 6, 6] < init[1, 6, 6]  # interior sagged
+
+
+def test_vmap_batching_consistent(scene16):
+    """vmapped worlds evolve identically to the single-world path."""
+    c, scene, pos0, vel0 = scene16
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    batched = ClothState(
+        pos=jnp.stack([state.pos] * 3),
+        vel=jnp.stack([state.vel] * 3),
+    )
+    step1 = jax.jit(jax.vmap(lambda s: cloth.substep(s, params, jnp.float32(1 / 480))))
+    out_b = step1(batched)
+    out_1 = jax.jit(cloth.substep)(state, params, jnp.float32(1 / 480))
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(out_b.pos[i]), np.asarray(out_1.pos))

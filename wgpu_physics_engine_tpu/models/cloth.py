@@ -1,0 +1,192 @@
+"""TPU-native mass-spring cloth: stencil formulation (pure XLA path).
+
+The reference stores 21,002 springs as explicit edge lists and burns an
+O(N·S) brute-force scan to accumulate forces without atomics
+(``forces.wgsl:272-313``). On TPU we exploit the grid structure instead:
+the six spring families (structural right/down, shear down-right/down-left,
+bend 2-right/2-down — ``cloth.rs:945-957``) are *shifted-array differences*
+over the ``[H, W]`` grid. Twelve stencil taps replace the edge list; the
+accumulation is O(N), deterministic, and fuses into one XLA computation
+per substep.
+
+Semantics match ``forces.wgsl`` (``compute_springs``) +
+``compute_movement.wgsl`` (``main``) exactly — see
+:mod:`wgpu_physics_engine_tpu.models.oracle` for the op-order contract;
+golden-trajectory tests pin this path to the oracle at 1e-4.
+
+Layout: channels-first ``[3, H, W]`` so the trailing grid axes map onto the
+VPU (sublane, lane) tiling; vector math is a reduction over axis 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import ClothParams, ClothState
+
+_EPS = 1e-6
+
+# (dr, dc) offsets for the six spring families, grouped by type.
+STRUCT_OFFSETS = ((0, 1), (1, 0))
+SHEAR_OFFSETS = ((1, 1), (1, -1))
+BEND_OFFSETS = ((0, 2), (2, 0))
+
+
+def _edge_slices(h: int, w: int, dr: int, dc: int):
+    """Index slices selecting p0 and p1 grids for edge family (dr, dc)."""
+    if dc >= 0:
+        c0 = slice(0, w - dc)
+        c1 = slice(dc, w)
+    else:
+        c0 = slice(-dc, w)
+        c1 = slice(0, w + dc)
+    r0 = slice(0, h - dr)
+    r1 = slice(dr, h)
+    return (r0, c0), (r1, c1)
+
+
+def _edge_force(p0, p1, v0, v1, k, c, rest):
+    """Spring force on p0 for one edge family (forces.wgsl:158-186).
+
+    Inputs ``[3, h', w']``; Hooke with uniform rest length + velocity
+    projection damping; zero where ``dist < 1e-6``.
+    """
+    delta = p1 - p0
+    dist = jnp.sqrt(jnp.sum(delta * delta, axis=0))
+    safe = dist >= _EPS
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, dist, 1.0), 0.0)
+    dirv = delta * inv[None]
+    stretch = dist - rest
+    hooke = (k * stretch)[None] * dirv
+    v_along = jnp.sum((v1 - v0) * dirv, axis=0)
+    damp = (c * v_along)[None] * dirv
+    return jnp.where(safe[None], hooke + damp, 0.0)
+
+
+def spring_forces(pos: jnp.ndarray, vel: jnp.ndarray, p: ClothParams) -> jnp.ndarray:
+    """Accumulated spring force per particle, ``[3, H, W]``.
+
+    Equivalent to compute_springs + accumulate_forces
+    (forces.wgsl:143-313): each edge contributes ``+F`` to its p0 and
+    ``-F`` to its p1.
+    """
+    h, w = pos.shape[-2:]
+    force = jnp.zeros_like(pos)
+    families = (
+        (STRUCT_OFFSETS, p.k_struct, p.c_struct, p.rest_struct),
+        (SHEAR_OFFSETS, p.k_shear, p.c_shear, p.rest_shear),
+        (BEND_OFFSETS, p.k_bend, p.c_bend, p.rest_bend),
+    )
+    for offsets, k, c, rest in families:
+        for dr, dc in offsets:
+            (r0, c0), (r1, c1) = _edge_slices(h, w, dr, dc)
+            e = _edge_force(
+                pos[:, r0, c0], pos[:, r1, c1],
+                vel[:, r0, c0], vel[:, r1, c1],
+                k, c, rest,
+            )
+            force = force.at[:, r0, c0].add(e)
+            force = force.at[:, r1, c1].add(-e)
+    return force
+
+
+def integrate(
+    pos: jnp.ndarray,
+    vel: jnp.ndarray,
+    spring_force: jnp.ndarray,
+    p: ClothParams,
+    dt: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Movement kernel (compute_movement.wgsl:70-174) on ``[3, H, W]``.
+
+    gravity → sphere penalty contact → Coulomb friction on the post-contact
+    resultant → semi-implicit Euler with exponential speed damping → hard
+    surface projection (zeroing velocity).
+    """
+    total = spring_force
+    # Gravity on y only (compute_movement.wgsl:86)
+    g = jnp.stack([jnp.zeros_like(p.mass), p.mass * p.gravity, jnp.zeros_like(p.mass)])
+    total = total + g[:, None, None]
+
+    # Sphere contact (compute_movement.wgsl:107-117)
+    dist = jnp.sqrt(jnp.sum(pos * pos, axis=0))
+    min_dist = p.globe_radius + p.particle_radius
+    in_contact = (dist < min_dist) & (dist > _EPS)
+    n = pos / jnp.where(dist > _EPS, dist, 1.0)[None]
+    f_contact = (p.k_contact * (min_dist - dist))[None] * n
+    total = jnp.where(in_contact[None], total + f_contact, total)
+
+    # Friction on the total resultant incl. contact (compute_movement.wgsl:119-131)
+    ro_n_mag = jnp.sum(total * n, axis=0)
+    ro_t = total - ro_n_mag[None] * n
+    ro_t_mag = jnp.sqrt(jnp.sum(ro_t * ro_t, axis=0))
+    fric_active = in_contact & (ro_t_mag > _EPS)
+    tangent = ro_t / jnp.where(ro_t_mag > _EPS, ro_t_mag, 1.0)[None]
+    f_fric = (-jnp.minimum(ro_t_mag, p.mu * jnp.abs(ro_n_mag)))[None] * tangent
+    total = jnp.where(fric_active[None], total + f_fric, total)
+
+    # Semi-implicit Euler + damping (compute_movement.wgsl:137-140)
+    vel = vel + (total / p.mass) * dt
+    vel = vel * jnp.power(p.speed_damp, dt)
+    pos = pos + vel * dt
+
+    # Hard projection (compute_movement.wgsl:143-158)
+    final_dist = jnp.sqrt(jnp.sum(pos * pos, axis=0))
+    pen = final_dist < min_dist
+    pen_safe = pen & (final_dist > _EPS)
+    pen_center = pen & jnp.logical_not(pen_safe)
+    nf = pos / jnp.where(final_dist > _EPS, final_dist, 1.0)[None]
+    center_pos = jnp.array([0.0, 1.0, 0.0], pos.dtype) * min_dist
+    pos = jnp.where(pen_safe[None], nf * min_dist, pos)
+    pos = jnp.where(pen_center[None], center_pos[:, None, None], pos)
+    vel = jnp.where(pen[None], 0.0, vel)
+    return pos, vel
+
+
+def substep(state: ClothState, params: ClothParams, dt: jnp.ndarray) -> ClothState:
+    """One physics substep: the three compute passes of
+    ``dispatch_compute`` (cloth.rs:1283-1327) fused into one XLA program,
+    plus optional fixed-pin constraints (extension; BASELINE configs[1])."""
+    force = spring_forces(state.pos, state.vel, params)
+    pos, vel = integrate(state.pos, state.vel, force, params, dt)
+    if state.pin_mask is not None:
+        pin = state.pin_mask[None]
+        pos = jnp.where(pin, state.pin_pos, pos)
+        vel = jnp.where(pin, 0.0, vel)
+    return state._replace(pos=pos, vel=vel)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray, n_steps: int) -> ClothState:
+    """``n_steps`` substeps under one jit via ``lax.scan`` — the TPU
+    equivalent of the reference's per-frame substep loop (cloth.rs:1474-1493),
+    with zero host round-trips between substeps."""
+
+    def body(s, _):
+        return substep(s, params, dt), None
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
+
+
+def frame_substeps(delta_time: float, time_scale: float, hz: float = 480.0,
+                   max_substeps: int = 8) -> Tuple[int, float]:
+    """Host-side substep schedule (cloth.rs:1461-1471):
+    ``n = clamp(ceil(time_scale*dt*hz), 1, max)``; ``sub_dt = scaled/n``."""
+    import math
+
+    scaled = time_scale * delta_time
+    n = max(1, min(max_substeps, math.ceil(scaled * hz)))
+    return n, scaled / n
+
+
+def frame_update(state: ClothState, params: ClothParams, delta_time: float,
+                 time_scale: float = 1.0, hz: float = 480.0,
+                 max_substeps: int = 8) -> ClothState:
+    """One render-frame's worth of physics (App::update, cloth.rs:1458-1493)."""
+    n, sub_dt = frame_substeps(delta_time, time_scale, hz, max_substeps)
+    return multi_step(state, params, jnp.float32(sub_dt), n)
