@@ -1,0 +1,86 @@
+"""Headline benchmark: particle-steps/sec/chip on the 256×256 cloth +
+sphere collision scene (BASELINE.json north star: >= 1e9).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is value / 1e9 (the driver-set target; the reference itself
+publishes no numbers — its implied realtime ceiling is 1.73e6, see
+BASELINE.md).
+
+Note: under the axon TPU platform ``block_until_ready`` does not reliably
+synchronize, so timing forces a device→host readback of one array.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET = 1.0e9
+H = W = 256
+SUBSTEPS = 2000
+DT = 1.0 / 480.0
+
+
+def _best_multi_step():
+    """Pick the fastest available multi-substep implementation."""
+    from wgpu_physics_engine_tpu.models import cloth
+
+    impls = {"xla": cloth.multi_step}
+    try:
+        from wgpu_physics_engine_tpu.ops import cloth_pallas
+
+        impls["pallas"] = cloth_pallas.multi_step
+    except Exception:
+        pass
+    return impls
+
+
+def _time_impl(fn, state, params, n_steps) -> float:
+    dt = jnp.float32(DT)
+    out = fn(state, params, dt, n_steps)
+    np.asarray(out.pos)  # compile + sync
+    best = float("inf")
+    for trial in range(3):
+        st = state._replace(pos=state.pos + jnp.float32(trial * 1e-3))
+        t0 = time.time()
+        out = fn(st, params, dt, n_steps)
+        np.asarray(out.pos)  # force execution + readback
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.core.state import ClothParams, init_cloth_state
+
+    c = cfg.ClothConfig(height=H, width=W)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+
+    results = {}
+    for name, fn in _best_multi_step().items():
+        try:
+            el = _time_impl(fn, state, params, SUBSTEPS)
+            results[name] = H * W * SUBSTEPS / el
+        except Exception as e:  # an impl failing must not kill the bench
+            print(f"# {name} failed: {type(e).__name__}: {e}")
+
+    value = max(results.values())
+    for name, v in sorted(results.items(), key=lambda kv: -kv[1]):
+        print(f"# {name}: {v:.3e} particle-steps/s")
+    print(json.dumps({
+        "metric": "particle-steps/sec/chip (256x256 cloth + sphere collide)",
+        "value": value,
+        "unit": "particle-steps/s",
+        "vs_baseline": value / TARGET,
+    }))
+
+
+if __name__ == "__main__":
+    main()

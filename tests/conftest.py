@@ -4,7 +4,7 @@ jax import (SURVEY §4 / task environment notes)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the harness presets axon (TPU); tests run on CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter start, so env vars alone
+# are too late; the config update below works as long as no backend has been
+# initialized yet (XLA_FLAGS is still read at backend init).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) >= 8, (
+    "tests expect the 8-device virtual CPU mesh; got "
+    f"{jax.devices()}"
+)

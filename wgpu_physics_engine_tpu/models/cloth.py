@@ -67,12 +67,18 @@ def _edge_force(p0, p1, v0, v1, k, c, rest):
     return jnp.where(safe[None], hooke + damp, 0.0)
 
 
-def spring_forces(pos: jnp.ndarray, vel: jnp.ndarray, p: ClothParams) -> jnp.ndarray:
+def spring_forces(pos: jnp.ndarray, vel: jnp.ndarray, p: ClothParams,
+                  row_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Accumulated spring force per particle, ``[3, H, W]``.
 
     Equivalent to compute_springs + accumulate_forces
     (forces.wgsl:143-313): each edge contributes ``+F`` to its p0 and
     ``-F`` to its p1.
+
+    ``row_valid`` (optional ``[H]`` bool): marks rows that exist in the
+    global grid. Used by the spatially-sharded path, where each shard's
+    local array carries ghost/halo rows; edges touching an invalid row
+    contribute nothing. None means all rows are real.
     """
     h, w = pos.shape[-2:]
     force = jnp.zeros_like(pos)
@@ -89,6 +95,9 @@ def spring_forces(pos: jnp.ndarray, vel: jnp.ndarray, p: ClothParams) -> jnp.nda
                 vel[:, r0, c0], vel[:, r1, c1],
                 k, c, rest,
             )
+            if row_valid is not None:
+                edge_ok = row_valid[r0.start:r0.stop] & row_valid[r1.start:r1.stop]
+                e = jnp.where(edge_ok[None, :, None], e, 0.0)
             force = force.at[:, r0, c0].add(e)
             force = force.at[:, r1, c1].add(-e)
     return force

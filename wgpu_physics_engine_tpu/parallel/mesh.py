@@ -1,0 +1,192 @@
+"""Multi-chip parallelism over a TPU device mesh.
+
+The reference is strictly single-process/single-GPU (SURVEY §2: no
+parallelism components exist); its only concurrency is SIMT workgroup
+dispatch. The TPU build scales two orthogonal ways:
+
+1. **Worlds axis (data parallel):** independent vmapped scenes sharded over
+   the mesh's ``worlds`` axis — embarrassingly parallel datagen with ZERO
+   inter-chip collectives in the step (SURVEY §5, BASELINE configs[4]).
+2. **Spatial axis (halo exchange):** a single giant cloth sharded by grid
+   rows across the ``rows`` axis; the stencil needs a 2-row halo (the bend
+   family reaches 2 rows down — cloth.rs:956-957), exchanged per substep
+   with ``jax.lax.ppermute`` over ICI inside ``shard_map``.
+
+Both compose: a ``(worlds, rows)`` mesh runs batches of spatially-sharded
+giant cloths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.state import ClothParams, ClothState
+from ..models import cloth
+
+
+def make_mesh(shape: Sequence[int] = None, axis_names: Sequence[str] = ("worlds",),
+              devices=None) -> Mesh:
+    """Build a device mesh. Default: 1-D ``worlds`` axis over all devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices),)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+# ---------------------------------------------------------------------------
+# 1. Worlds-axis data parallelism
+# ---------------------------------------------------------------------------
+
+def shard_worlds(state: ClothState, mesh: Mesh, axis: str = "worlds") -> ClothState:
+    """Place a batched state (leading worlds axis on pos/vel) on the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def put(x, is_batched):
+        if x is None:
+            return None
+        return jax.device_put(x, sharding if is_batched else rep)
+
+    return ClothState(
+        pos=put(state.pos, True),
+        vel=put(state.vel, True),
+        pin_mask=put(state.pin_mask, state.pin_mask is not None and state.pin_mask.ndim > 2),
+        pin_pos=put(state.pin_pos, state.pin_pos is not None and state.pin_pos.ndim > 3),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def batched_multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
+                       n_steps: int) -> ClothState:
+    """vmapped multi-substep over a leading worlds axis. Under a mesh-sharded
+    input, XLA partitions this with no collectives (worlds are independent)."""
+    return jax.vmap(lambda s: cloth.multi_step(s, params, dt, n_steps))(state)
+
+
+# ---------------------------------------------------------------------------
+# 2. Spatial sharding with halo exchange
+# ---------------------------------------------------------------------------
+
+HALO = 2  # bend springs reach 2 rows (cloth.rs:956-957)
+
+
+def _exchange_halo(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Extend local ``[3, h, W]`` rows with 2-row halos from both
+    neighbors along ``axis_name`` (non-wrapping: boundary shards receive
+    zeros, masked out via row_valid)."""
+    n = jax.lax.psum(1, axis_name)
+    top = x[:, :HALO]
+    bot = x[:, -HALO:]
+    # up_halo on shard i = bottom rows of shard i-1  (perm: i → i+1)
+    up_halo = jax.lax.ppermute(bot, axis_name, [(i, i + 1) for i in range(n - 1)])
+    # down_halo on shard i = top rows of shard i+1   (perm: i → i-1)
+    down_halo = jax.lax.ppermute(top, axis_name, [(i + 1, i) for i in range(n - 1)])
+    return jnp.concatenate([up_halo, x, down_halo], axis=1)
+
+
+def _spatial_substep_local(pos, vel, pin_mask, pin_pos, params, dt, axis_name):
+    """Per-shard substep body: halo-exchange → masked stencil → pointwise
+    integrate → slice off halos. Runs inside shard_map."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.psum(1, axis_name)
+    h_local = pos.shape[-2]
+
+    pos_ext = _exchange_halo(pos, axis_name)
+    vel_ext = _exchange_halo(vel, axis_name)
+    row_valid = jnp.concatenate([
+        jnp.full((HALO,), idx > 0),
+        jnp.ones((h_local,), bool),
+        jnp.full((HALO,), idx < n - 1),
+    ])
+    force_ext = cloth.spring_forces(pos_ext, vel_ext, params, row_valid=row_valid)
+    force = force_ext[:, HALO:-HALO]
+    new_pos, new_vel = cloth.integrate(pos, vel, force, params, dt)
+    if pin_mask is not None:
+        new_pos = jnp.where(pin_mask[None], pin_pos, new_pos)
+        new_vel = jnp.where(pin_mask[None], 0.0, new_vel)
+    return new_pos, new_vel
+
+
+def spatial_substep(state: ClothState, params: ClothParams, dt: jnp.ndarray,
+                    mesh: Mesh, axis: str = "rows") -> ClothState:
+    """One substep of a single cloth sharded by rows across ``axis``.
+
+    Mathematically identical to :func:`cloth.substep` — halo rows carry the
+    true neighbor data, and edges crossing the global boundary are masked.
+    """
+    has_pins = state.pin_mask is not None
+    spec3 = P(None, axis, None)   # [3, H, W] sharded on H
+    spec2 = P(axis, None)          # [H, W]
+
+    if has_pins:
+        def body(pos, vel, pin_mask, pin_pos):
+            return _spatial_substep_local(pos, vel, pin_mask, pin_pos, params, dt, axis)
+
+        f = shard_map(body, mesh=mesh,
+                      in_specs=(spec3, spec3, spec2, spec3),
+                      out_specs=(spec3, spec3))
+        new_pos, new_vel = f(state.pos, state.vel, state.pin_mask, state.pin_pos)
+    else:
+        def body(pos, vel):
+            return _spatial_substep_local(pos, vel, None, None, params, dt, axis)
+
+        f = shard_map(body, mesh=mesh, in_specs=(spec3, spec3),
+                      out_specs=(spec3, spec3))
+        new_pos, new_vel = f(state.pos, state.vel)
+    return state._replace(pos=new_pos, vel=new_vel)
+
+
+def batched_spatial_multi_step(state: ClothState, params: ClothParams,
+                               dt: jnp.ndarray, n_steps: int, mesh: Mesh,
+                               worlds_axis: str = "worlds",
+                               rows_axis: str = "rows") -> ClothState:
+    """Composed 2-D parallelism: a batch of worlds (data-parallel over
+    ``worlds_axis``) of spatially row-sharded cloths (halo exchange over
+    ``rows_axis``). pos/vel: ``[B, 3, H, W]``.
+
+    This is the full multi-chip step: DP over independent scenes × SP over
+    the grid, with per-substep ``ppermute`` halos riding ICI.
+    """
+    spec = P(worlds_axis, None, rows_axis, None)
+
+    def body(pos, vel):
+        def one(carry, _):
+            p, v = carry
+            p, v = jax.vmap(
+                lambda pp, vv: _spatial_substep_local(
+                    pp, vv, None, None, params, dt, rows_axis)
+            )(p, v)
+            return (p, v), None
+
+        (p, v), _ = jax.lax.scan(one, (pos, vel), None, length=n_steps)
+        return p, v
+
+    f = shard_map(body, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec))
+    new_pos, new_vel = jax.jit(f)(state.pos, state.vel)
+    return state._replace(pos=new_pos, vel=new_vel)
+
+
+def spatial_multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
+                       n_steps: int, mesh: Mesh, axis: str = "rows") -> ClothState:
+    """``n_steps`` spatially-sharded substeps under one jit; the halo
+    ppermutes ride ICI between substeps, state never leaves the devices."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(s):
+        def body(carry, _):
+            return spatial_substep(carry, params, dt, mesh, axis), None
+
+        out, _ = jax.lax.scan(body, s, None, length=n_steps)
+        return out
+
+    return run(state)
