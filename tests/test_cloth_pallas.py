@@ -1,0 +1,67 @@
+"""Fused Pallas kernel vs the XLA stencil path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wgpu_physics_engine_tpu.core import config as cfg
+from wgpu_physics_engine_tpu.core.state import ClothParams, init_cloth_state
+from wgpu_physics_engine_tpu.models import cloth, oracle
+from wgpu_physics_engine_tpu.ops import cloth_pallas
+
+
+def from_grid(g):
+    return np.transpose(np.asarray(g), (1, 2, 0)).reshape(-1, 3)
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (8, 24)])
+def test_pallas_matches_xla_path(hw):
+    h, w = hw
+    c = cfg.ClothConfig(height=h, width=w)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    key = jax.random.key(1)
+    state = state._replace(
+        vel=0.5 * jax.random.normal(key, state.vel.shape, jnp.float32))
+    dt = jnp.float32(1 / 480)
+
+    ref = cloth.multi_step(state, params, dt, 40)
+    got = cloth_pallas.multi_step(state, params, dt, 40, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_matches_oracle_through_impact():
+    """Same golden-trajectory bar as the XLA path, on a short-fall scene
+    (spawn close to the globe so impact happens within ~180 steps)."""
+    c = cfg.ClothConfig(height=16, width=16, center=(0.0, 12.0, 0.0),
+                        cloth_size=8.0)
+    scene, pos0, vel0 = oracle.make_scene(c)
+    dt = 1.0 / 480.0
+    n = 330
+    ref_pos, ref_vel = oracle.simulate(scene, pos0.copy(), vel0.copy(), dt, n)
+
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    got = cloth_pallas.multi_step(state, params, jnp.float32(dt), n, interpret=True)
+    np.testing.assert_allclose(from_grid(got.pos), ref_pos, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_pins():
+    c = cfg.ClothConfig(height=16, width=16)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    pin = np.zeros((16, 16), bool)
+    pin[0, :] = True
+    state = state._replace(pin_mask=jnp.asarray(pin), pin_pos=state.pos)
+
+    ref = cloth.multi_step(state, params, jnp.float32(1 / 480), 60)
+    got = cloth_pallas.multi_step(state, params, jnp.float32(1 / 480), 60,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(got.pos)[:, 0, :], np.asarray(state.pos)[:, 0, :])

@@ -1,0 +1,234 @@
+"""Fused multi-substep cloth kernel (Pallas / Mosaic TPU).
+
+The XLA scan path (models/cloth.py) round-trips pos/vel through HBM every
+substep plus ~a dozen stencil intermediates (~150 µs/substep at 256×256).
+This kernel runs ALL substeps of a launch inside one ``pallas_call`` with
+the six state planes (x,y,z,vx,vy,vz — fp32 [H,W]) resident in VMEM, so
+HBM is touched exactly twice: initial load and final store. The stencil
+is computed with cyclic lane/sublane rotates (``pltpu.roll``) plus
+validity masks instead of the XLA path's slice/pad scatter-adds.
+
+Semantics are identical to models/cloth.py (the WGSL contract,
+forces.wgsl:143-313 + compute_movement.wgsl:70-174): same edge-force
+expressions, same stencil accumulation order, same integrate/contact/
+friction/projection order, same fixed-pin extension.
+
+Reference workload mapping: this one kernel replaces the reference's three
+chained compute passes per substep (dispatch_compute, cloth.rs:1283-1327)
+AND the per-substep host uniform write (cloth.rs:1488) — the host submits
+one launch per frame (or per checkpoint interval), not per substep.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.state import ClothParams, ClothState
+
+_EPS = 1e-6
+
+# Spring families: (dr, dc, k-index) — identical order to models/cloth.py.
+_FAMILIES = (
+    (0, 1, 0), (1, 0, 0),     # structural right, down
+    (1, 1, 1), (1, -1, 1),    # shear down-right, down-left
+    (0, 2, 2), (2, 0, 2),     # bend 2-right, 2-down
+)
+
+# Param vector layout (SMEM), all float32:
+# 0:k_struct 1:k_shear 2:k_bend 3:c_struct 4:c_shear 5:c_bend
+# 6:rest_struct 7:rest_shear 8:rest_bend 9:k_contact 10:mu 11:mass
+# 12:gravity 13:damp_factor(=speed_damp**dt) 14:min_dist(globe_r+particle_r)
+# 15:dt
+_NP = 16
+
+
+def _shift(x, dr, dc, h, w):
+    """result[r, c] = x[(r+dr) % h, (c+dc) % w] via cyclic rotates."""
+    if dr:
+        x = pltpu.roll(x, (-dr) % h, axis=0)
+    if dc:
+        x = pltpu.roll(x, (-dc) % w, axis=1)
+    return x
+
+
+def _family_masks(h, w, dr, dc, dtype=jnp.float32):
+    """Validity mask [h, w] for edges anchored at p0=(r,c): both endpoints
+    must be real grid cells (no wraparound)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ok = rows < (h - dr)
+    if dc >= 0:
+        ok = ok & (cols < (w - dc))
+    else:
+        ok = ok & (cols >= -dc)
+    return ok
+
+
+def _kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
+            pos_out, vel_out, *, h, w, n_steps, use_pins):
+    prm = lambda i: params_ref[i]
+    k = (prm(0), prm(1), prm(2))
+    c = (prm(3), prm(4), prm(5))
+    rest = (prm(6), prm(7), prm(8))
+    k_contact, mu, mass = prm(9), prm(10), prm(11)
+    gravity, damp_factor, min_dist, dt = prm(12), prm(13), prm(14), prm(15)
+
+    x, y, z = pos_ref[0], pos_ref[1], pos_ref[2]
+    vx, vy, vz = vel_ref[0], vel_ref[1], vel_ref[2]
+    if use_pins:
+        pin = pinm_ref[...] != 0.0
+        px_pin, py_pin, pz_pin = pinpos_ref[0], pinpos_ref[1], pinpos_ref[2]
+
+    masks = [_family_masks(h, w, dr, dc) for dr, dc, _ in _FAMILIES]
+
+    def substep(_, carry):
+        x, y, z, vx, vy, vz = carry
+
+        # ---- spring stencil (forces.wgsl:143-313) ----
+        fx = jnp.zeros((h, w), jnp.float32)
+        fy = jnp.zeros((h, w), jnp.float32)
+        fz = jnp.zeros((h, w), jnp.float32)
+        for fam_idx, (dr, dc, t) in enumerate(_FAMILIES):
+            ok = masks[fam_idx]
+            p1x, p1y, p1z = (_shift(a, dr, dc, h, w) for a in (x, y, z))
+            v1x, v1y, v1z = (_shift(a, dr, dc, h, w) for a in (vx, vy, vz))
+            dxv, dyv, dzv = p1x - x, p1y - y, p1z - z
+            dist = jnp.sqrt(dxv * dxv + dyv * dyv + dzv * dzv)
+            safe = dist >= _EPS
+            inv = jnp.where(safe, 1.0 / jnp.where(safe, dist, 1.0), 0.0)
+            ux, uy, uz = dxv * inv, dyv * inv, dzv * inv
+            stretch = dist - rest[t]
+            v_along = (v1x - vx) * ux + (v1y - vy) * uy + (v1z - vz) * uz
+            s = k[t] * stretch + c[t] * v_along
+            keep = ok & safe
+            ex = jnp.where(keep, s * ux, 0.0)
+            ey = jnp.where(keep, s * uy, 0.0)
+            ez = jnp.where(keep, s * uz, 0.0)
+            fx = fx + ex
+            fy = fy + ey
+            fz = fz + ez
+            # reaction on p1: shift E back by (+dr, +dc); masked zeros wrap
+            fx = fx - _shift(ex, -dr, -dc, h, w)
+            fy = fy - _shift(ey, -dr, -dc, h, w)
+            fz = fz - _shift(ez, -dr, -dc, h, w)
+
+        # ---- integrate (compute_movement.wgsl:70-174) ----
+        fy = fy + mass * gravity
+
+        dist = jnp.sqrt(x * x + y * y + z * z)
+        in_contact = (dist < min_dist) & (dist > _EPS)
+        inv_d = 1.0 / jnp.where(dist > _EPS, dist, 1.0)
+        nx, ny, nz = x * inv_d, y * inv_d, z * inv_d
+        pen = k_contact * (min_dist - dist)
+        fx = jnp.where(in_contact, fx + pen * nx, fx)
+        fy = jnp.where(in_contact, fy + pen * ny, fy)
+        fz = jnp.where(in_contact, fz + pen * nz, fz)
+
+        ro_n = fx * nx + fy * ny + fz * nz
+        tx, ty, tz = fx - ro_n * nx, fy - ro_n * ny, fz - ro_n * nz
+        tmag = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+        fric = in_contact & (tmag > _EPS)
+        inv_t = 1.0 / jnp.where(tmag > _EPS, tmag, 1.0)
+        fmag = -jnp.minimum(tmag, mu * jnp.abs(ro_n))
+        fx = jnp.where(fric, fx + fmag * tx * inv_t, fx)
+        fy = jnp.where(fric, fy + fmag * ty * inv_t, fy)
+        fz = jnp.where(fric, fz + fmag * tz * inv_t, fz)
+
+        inv_m = 1.0 / mass
+        vx = (vx + fx * inv_m * dt) * damp_factor
+        vy = (vy + fy * inv_m * dt) * damp_factor
+        vz = (vz + fz * inv_m * dt) * damp_factor
+        x = x + vx * dt
+        y = y + vy * dt
+        z = z + vz * dt
+
+        fdist = jnp.sqrt(x * x + y * y + z * z)
+        pen2 = fdist < min_dist
+        pen_safe = pen2 & (fdist > _EPS)
+        pen_center = pen2 & jnp.logical_not(pen_safe)
+        inv_f = 1.0 / jnp.where(fdist > _EPS, fdist, 1.0)
+        x = jnp.where(pen_safe, x * inv_f * min_dist, jnp.where(pen_center, 0.0, x))
+        y = jnp.where(pen_safe, y * inv_f * min_dist, jnp.where(pen_center, min_dist, y))
+        z = jnp.where(pen_safe, z * inv_f * min_dist, jnp.where(pen_center, 0.0, z))
+        vx = jnp.where(pen2, 0.0, vx)
+        vy = jnp.where(pen2, 0.0, vy)
+        vz = jnp.where(pen2, 0.0, vz)
+
+        if use_pins:
+            x = jnp.where(pin, px_pin, x)
+            y = jnp.where(pin, py_pin, y)
+            z = jnp.where(pin, pz_pin, z)
+            vx = jnp.where(pin, 0.0, vx)
+            vy = jnp.where(pin, 0.0, vy)
+            vz = jnp.where(pin, 0.0, vz)
+        return x, y, z, vx, vy, vz
+
+    x, y, z, vx, vy, vz = jax.lax.fori_loop(
+        0, n_steps, substep, (x, y, z, vx, vy, vz))
+
+    pos_out[0], pos_out[1], pos_out[2] = x, y, z
+    vel_out[0], vel_out[1], vel_out[2] = vx, vy, vz
+
+
+def _pack_params(p: ClothParams, dt: jnp.ndarray) -> jnp.ndarray:
+    dt = jnp.float32(dt)
+    return jnp.stack([
+        p.k_struct, p.k_shear, p.k_bend,
+        p.c_struct, p.c_shear, p.c_bend,
+        p.rest_struct, p.rest_shear, p.rest_bend,
+        p.k_contact, p.mu, p.mass, p.gravity,
+        jnp.power(p.speed_damp, dt),          # damp factor, constant per launch
+        p.globe_radius + p.particle_radius,   # min_dist
+        dt,
+    ]).astype(jnp.float32)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
+def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
+               n_steps: int, interpret: Optional[bool] = None) -> ClothState:
+    """Run ``n_steps`` substeps in ONE fused kernel launch. Drop-in
+    equivalent of :func:`models.cloth.multi_step`."""
+    if interpret is None:
+        interpret = _default_interpret()
+    h, w = state.pos.shape[-2:]
+    use_pins = state.pin_mask is not None
+    pvec = _pack_params(params, dt)
+    if use_pins:
+        pinm = state.pin_mask.astype(jnp.float32)
+        pinpos = state.pin_pos
+    else:
+        pinm = jnp.zeros((1, 1), jnp.float32)
+        pinpos = jnp.zeros((3, 1, 1), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, h=h, w=w, n_steps=n_steps, use_pins=use_pins)
+    out_pos, out_vel = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(pvec, state.pos, state.vel, pinm, pinpos)
+    return state._replace(pos=out_pos, vel=out_vel)
