@@ -1,0 +1,398 @@
+"""Headless batched rasterizer (replaces the reference's wgpu render
+pipelines, L4): pure-function render passes over an explicit framebuffer.
+
+Design (SURVEY §7): the scene's spheres (the globe and every cloth/particle
+instance — the reference draws ALL of them as instanced UV-sphere meshes,
+cloth.rs:1350-1379) are rendered **analytically** by per-pixel ray-sphere
+intersection instead of rasterizing 48k-index meshes 3,600 times. That
+replaces the reference's ~174M vertex shades/frame with two small matmuls
+(pixels × instances dot products ride the MXU) plus a min-reduction, and is
+exact — a ray-traced sphere is the limit of the tessellated one. A general
+z-buffered triangle rasterizer covers arbitrary meshes (cube apps, custom
+geometry).
+
+Depth convention: NDC z in [0, 1], test = Less (wgpu Depth32Float contract,
+cloth.rs:749-770). Each pass reads and returns a :class:`Framebuffer`, the
+functional analog of a wgpu render pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import config as cfg
+from . import shading, texture as tex_mod
+from .camera import Camera, pixel_rays
+
+
+class Framebuffer(NamedTuple):
+    color: jnp.ndarray   # [H, W, 3] float32
+    depth: jnp.ndarray   # [H, W] float32 (NDC z, 1.0 = far/clear)
+
+
+def clear(height: int, width: int, color=(0.05, 0.05, 0.08)) -> Framebuffer:
+    """Clear pass (Runner's clear color + depth=max, reference L0)."""
+    c = jnp.broadcast_to(jnp.asarray(color, jnp.float32), (height, width, 3))
+    return Framebuffer(color=c, depth=jnp.ones((height, width), jnp.float32))
+
+
+def _ndc_z(view_z: jnp.ndarray, camera: Camera) -> jnp.ndarray:
+    """View-space z (negative in front) → NDC depth in [0, 1]."""
+    p22 = camera.proj[2, 2]
+    p23 = camera.proj[2, 3]
+    return (p22 * view_z + p23) / (-view_z)
+
+
+def _view_rot(camera: Camera) -> jnp.ndarray:
+    return camera.view[:3, :3]
+
+
+def _light_view(camera: Camera, light: cfg.LightConfig) -> jnp.ndarray:
+    """Light position transformed to view space (globe_shader.wgsl:91)."""
+    lp = jnp.asarray(light.position, jnp.float32)
+    return camera.view[:3, :3] @ lp + camera.view[:3, 3]
+
+
+# ---------------------------------------------------------------------------
+# Analytic sphere passes
+# ---------------------------------------------------------------------------
+
+def draw_globe(fb: Framebuffer, camera: Camera, radius,
+               texture: jnp.ndarray, light: cfg.LightConfig,
+               compute_specular=None, center=(0.0, 0.0, 0.0)) -> Framebuffer:
+    """Lit, textured sphere at ``center`` — the analytic equivalent of the
+    globe render pipeline (cloth.rs:705-773 + globe_shader.wgsl).
+
+    UV matches the reference mesh parametrization (sphere_vertices.rs:34-54):
+    polar axis +z, u = θ/2π (θ = atan2(y, x)), v = (π/2 − asin(z/r))/π.
+    """
+    h, w = fb.depth.shape
+    eye, dirs = pixel_rays(camera, h, w)              # [3], [3,H,W]
+    center = jnp.asarray(center, jnp.float32)
+    oc = center - eye                                  # [3]
+    b = jnp.einsum("i,ihw->hw", oc, dirs)
+    cc = jnp.dot(oc, oc)
+    disc = b * b - (cc - jnp.float32(radius) ** 2)
+    hit = (disc > 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = b - sq
+    hit = hit & (t > camera.znear)
+
+    p_world = eye[:, None, None] + t[None] * dirs      # [3,H,W]
+    rel = p_world - center[:, None, None]
+    n_world = rel / jnp.float32(radius)
+
+    rot = _view_rot(camera)
+    p_view = jnp.einsum("ij,jhw->ihw", rot, p_world - eye[:, None, None])
+    n_view = jnp.einsum("ij,jhw->ihw", rot, n_world)
+
+    # UV from the reference parametrization
+    z_over_r = jnp.clip(rel[2] / jnp.float32(radius), -1.0, 1.0)
+    theta = jnp.arctan2(rel[1], rel[0])
+    u = jnp.mod(theta / (2.0 * jnp.pi), 1.0)
+    v = (jnp.pi / 2.0 - jnp.arcsin(z_over_r)) / jnp.pi
+    albedo = tex_mod.sample_bilinear(texture, u, v)
+
+    color = shading.phong(p_view, n_view, albedo, _light_view(camera, light),
+                          light, compute_specular)
+
+    zn = _ndc_z(p_view[2], camera)
+    win = hit & (zn < fb.depth)
+    return Framebuffer(
+        color=jnp.where(win[..., None], color, fb.color),
+        depth=jnp.where(win, zn, fb.depth),
+    )
+
+
+def draw_instanced_spheres(
+    fb: Framebuffer, camera: Camera, centers: jnp.ndarray, radius,
+    light: cfg.LightConfig,
+    flat_color: Optional[Tuple[float, float, float]] = (1.0, 0.0, 0.0),
+    texture: Optional[jnp.ndarray] = None,
+    lit: bool = False,
+    chunk: int = 512,
+) -> Framebuffer:
+    """Instanced sphere pass — the analytic replacement for the cloth/
+    particle instanced draw (cloth.rs:1366-1379; 3,600 instances × 48,384
+    indices in the reference).
+
+    ``centers``: [N, 3]. Modes, mirroring the reference fragment shaders:
+    default ``flat_color`` red (cloth_instances.wgsl:81); ``texture`` without
+    ``lit`` = unlit texture sample (instances_shader.wgsl:70-77); ``lit`` =
+    Phong (the commented-out path of instances_shader.wgsl:80-112).
+
+    Nearest hit over N instances via chunked min-reduction; the per-chunk
+    ray·center dot products are one [P,3]×[3,K] matmul (MXU).
+    """
+    h, w = fb.depth.shape
+    eye, dirs = pixel_rays(camera, h, w)
+    p = h * w
+    d = dirs.reshape(3, p).T                           # [P, 3]
+    n = centers.shape[0]
+    r2 = jnp.float32(radius) ** 2
+
+    pad = (-n) % chunk
+    cpad = jnp.pad(centers, ((0, pad), (0, 0)))
+    valid0 = jnp.arange(n + pad) < n
+    cpad = cpad.reshape(-1, chunk, 3)
+    validc = valid0.reshape(-1, chunk)
+
+    def body(carry, inp):
+        tmin, inst = carry
+        cen, val, ci = inp                              # [K,3], [K], scalar
+        oc = cen - eye[None, :]                         # [K,3]
+        b = d @ oc.T                                    # [P,K]  (MXU)
+        cc = jnp.sum(oc * oc, axis=1)                   # [K]
+        disc = b * b - (cc[None, :] - r2)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = b - sq
+        ok = (disc > 0.0) & (t > camera.znear) & val[None, :]
+        t = jnp.where(ok, t, jnp.inf)
+        k = jnp.argmin(t, axis=1)                       # [P] chunk-local winner
+        tc = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
+        better = tc < tmin
+        inst = jnp.where(better, ci * chunk + k, inst)
+        return (jnp.where(better, tc, tmin), inst), None
+
+    n_chunks = cpad.shape[0]
+    carry0 = (jnp.full((p,), jnp.inf, jnp.float32), jnp.zeros((p,), jnp.int32))
+    (tmin, inst), _ = jax.lax.scan(
+        body, carry0, (cpad, validc, jnp.arange(n_chunks, dtype=jnp.int32)))
+    hit = jnp.isfinite(tmin)
+
+    tmin_g = jnp.where(hit, tmin, 0.0).reshape(h, w)
+    hitg = hit.reshape(h, w)
+    cen_win = jnp.take(cpad.reshape(-1, 3), jnp.where(hit, inst, 0), axis=0)
+    cen_g = cen_win.T.reshape(3, h, w)
+
+    p_world = eye[:, None, None] + tmin_g[None] * dirs
+    rel = p_world - cen_g
+    n_world = rel / jnp.float32(radius)
+    rot = _view_rot(camera)
+    p_view = jnp.einsum("ij,jhw->ihw", rot, p_world - eye[:, None, None])
+
+    if texture is not None:
+        z_over_r = jnp.clip(rel[2] / jnp.float32(radius), -1.0, 1.0)
+        theta = jnp.arctan2(rel[1], rel[0])
+        u = jnp.mod(theta / (2.0 * jnp.pi), 1.0)
+        v = (jnp.pi / 2.0 - jnp.arcsin(z_over_r)) / jnp.pi
+        albedo = tex_mod.sample_bilinear(texture, u, v)
+    else:
+        albedo = jnp.broadcast_to(jnp.asarray(flat_color, jnp.float32), (h, w, 3))
+
+    if lit:
+        n_view = jnp.einsum("ij,jhw->ihw", rot, n_world)
+        color = shading.phong(p_view, n_view, albedo,
+                              _light_view(camera, light), light)
+    else:
+        color = albedo
+
+    zn = _ndc_z(p_view[2], camera)
+    win = hitg & (zn < fb.depth)
+    return Framebuffer(
+        color=jnp.where(win[..., None], color, fb.color),
+        depth=jnp.where(win, zn, fb.depth),
+    )
+
+
+# ---------------------------------------------------------------------------
+# General triangle rasterizer
+# ---------------------------------------------------------------------------
+
+class DeviceMesh(NamedTuple):
+    """Mesh uploaded as device arrays (the vertex/index buffer analog, L2)."""
+
+    positions: jnp.ndarray   # [V, 3]
+    normals: jnp.ndarray     # [V, 3]
+    uvs: jnp.ndarray         # [V, 2]
+    tris: jnp.ndarray        # [T, 3] int32
+    colors: Optional[jnp.ndarray] = None
+
+    @classmethod
+    def from_host(cls, mesh) -> "DeviceMesh":
+        return cls(
+            positions=jnp.asarray(mesh.positions),
+            normals=jnp.asarray(mesh.normals),
+            uvs=jnp.asarray(mesh.uvs),
+            tris=jnp.asarray(mesh.indices, jnp.int32).reshape(-1, 3),
+            colors=None if mesh.colors is None else jnp.asarray(mesh.colors),
+        )
+
+
+def draw_mesh(fb: Framebuffer, camera: Camera, mesh: DeviceMesh,
+              model: Optional[jnp.ndarray] = None,
+              texture: Optional[jnp.ndarray] = None,
+              light: Optional[cfg.LightConfig] = None,
+              mode: str = "phong",
+              cull_backface: bool = True,
+              chunk: int = 256) -> Framebuffer:
+    """Z-buffered triangle rasterization with perspective-correct attribute
+    interpolation — the general path matching the reference render pipeline
+    state (depth Less, back-face culling, CCW front faces; cloth.rs:749-770).
+
+    ``mode``: 'phong' (C6/C16 globe), 'diffuse' (C4 textured cube),
+    'color' (C3 flat vertex colors), 'texture' (unlit, C10).
+    """
+    h, w = fb.depth.shape
+    verts = mesh.positions
+    if model is not None:
+        verts = verts @ model[:3, :3].T + model[:3, 3]
+    # view/clip transforms
+    vview = verts @ camera.view[:3, :3].T + camera.view[:3, 3]
+    clip = vview @ camera.proj[:3, :3].T + camera.proj[:3, 3]
+    wclip = -vview[:, 2]                              # proj[3] = (0,0,-1,0)
+    ndc = clip / wclip[:, None]
+    sx = (ndc[:, 0] + 1.0) * 0.5 * w
+    sy = (1.0 - ndc[:, 1]) * 0.5 * h
+    sz = ndc[:, 2]
+    inv_w = 1.0 / wclip
+
+    nview = mesh.normals @ camera.view[:3, :3].T
+    if model is not None:
+        nview = (mesh.normals @ model[:3, :3].T) @ camera.view[:3, :3].T
+
+    px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0).reshape(-1)
+    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1).reshape(-1)
+    p = h * w
+
+    tris = mesh.tris
+    t = tris.shape[0]
+    pad = (-t) % chunk
+    tris_p = jnp.pad(tris, ((0, pad), (0, 0)))
+    tvalid = jnp.arange(t + pad) < t
+
+    depth = fb.depth.reshape(-1)
+    win_tri = jnp.full((p,), -1, jnp.int32)
+    win_b0 = jnp.zeros((p,), jnp.float32)
+    win_b1 = jnp.zeros((p,), jnp.float32)
+
+    def edge(ax, ay, bx, by, cx, cy):
+        return (cx - ax) * (by - ay) - (cy - ay) * (bx - ax)
+
+    n_chunks = tris_p.shape[0] // chunk
+    for ci in range(n_chunks):
+        tr = tris_p[ci * chunk:(ci + 1) * chunk]
+        tv = tvalid[ci * chunk:(ci + 1) * chunk]
+        i0, i1, i2 = tr[:, 0], tr[:, 1], tr[:, 2]
+        x0, y0 = sx[i0], sy[i0]
+        x1, y1 = sx[i1], sy[i1]
+        x2, y2 = sx[i2], sy[i2]
+        area = edge(x0, y0, x1, y1, x2, y2)           # [K]
+        # CCW-in-NDC front faces (the reference's FrontFace::Ccw) come out
+        # with positive area under this edge function after the y flip.
+        front = (area > 0.0) if cull_backface else (area != 0.0)
+        front = front & tv & (wclip[i0] > camera.znear) & \
+            (wclip[i1] > camera.znear) & (wclip[i2] > camera.znear)
+        inv_area = 1.0 / jnp.where(area != 0.0, area, 1.0)
+
+        e0 = edge(x1[None], y1[None], x2[None], y2[None], px[:, None], py[:, None])
+        e1 = edge(x2[None], y2[None], x0[None], y0[None], px[:, None], py[:, None])
+        e2 = edge(x0[None], y0[None], x1[None], y1[None], px[:, None], py[:, None])
+        b0 = e0 * inv_area[None]
+        b1 = e1 * inv_area[None]
+        b2 = e2 * inv_area[None]
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & front[None]
+        z = b0 * sz[i0][None] + b1 * sz[i1][None] + b2 * sz[i2][None]
+        z = jnp.where(inside, z, jnp.inf)
+        kbest = jnp.argmin(z, axis=1)
+        zbest = jnp.take_along_axis(z, kbest[:, None], 1)[:, 0]
+        better = zbest < depth
+        depth = jnp.where(better, zbest, depth)
+        gtri = ci * chunk + kbest
+        win_tri = jnp.where(better, gtri, win_tri)
+        win_b0 = jnp.where(better, jnp.take_along_axis(b0, kbest[:, None], 1)[:, 0], win_b0)
+        win_b1 = jnp.where(better, jnp.take_along_axis(b1, kbest[:, None], 1)[:, 0], win_b1)
+
+    hit = win_tri >= 0
+    tr = jnp.take(tris_p, jnp.where(hit, win_tri, 0), axis=0)   # [P,3]
+    b0, b1 = win_b0, win_b1
+    b2 = 1.0 - b0 - b1
+
+    def interp(attr):
+        a0 = jnp.take(attr, tr[:, 0], axis=0)
+        a1 = jnp.take(attr, tr[:, 1], axis=0)
+        a2 = jnp.take(attr, tr[:, 2], axis=0)
+        w0 = (b0 * inv_w[tr[:, 0]])[:, None]
+        w1 = (b1 * inv_w[tr[:, 1]])[:, None]
+        w2 = (b2 * inv_w[tr[:, 2]])[:, None]
+        denom = w0 + w1 + w2
+        return (a0 * w0 + a1 * w1 + a2 * w2) / jnp.where(denom != 0, denom, 1.0)
+
+    pv = interp(vview).T.reshape(3, h, w)
+    nv = interp(nview).T.reshape(3, h, w)
+    uv = interp(mesh.uvs)
+    hitg = hit.reshape(h, w)
+
+    if mode == "color":
+        color = interp(mesh.colors).reshape(h, w, 3)
+    else:
+        if texture is not None:
+            albedo = tex_mod.sample_bilinear(
+                texture, uv[:, 0].reshape(h, w), uv[:, 1].reshape(h, w))
+        else:
+            albedo = jnp.ones((h, w, 3), jnp.float32)
+        if mode == "texture":
+            color = albedo
+        elif mode == "diffuse":
+            color = shading.diffuse_only(pv, nv, albedo,
+                                         _light_view(camera, light), light)
+        else:
+            color = shading.phong(pv, nv, albedo,
+                                  _light_view(camera, light), light)
+
+    zg = depth.reshape(h, w)
+    win = hitg
+    return Framebuffer(
+        color=jnp.where(win[..., None], color, fb.color),
+        depth=jnp.where(win, zg, fb.depth),
+    )
+
+
+def draw_lines(fb: Framebuffer, camera: Camera, segments: jnp.ndarray,
+               color=(0.0, 0.0, 1.0), px_width: float = 1.0) -> Framebuffer:
+    """Line-list pass (wireframe bounds box, C10's wireframe_shader).
+
+    ``segments``: [L, 2, 3] world-space endpoints. Screen-space distance
+    test per pixel, depth-tested against the interpolated segment depth.
+    """
+    h, w = fb.depth.shape
+    a = segments[:, 0, :]
+    b = segments[:, 1, :]
+
+    def project(v):
+        vv = v @ camera.view[:3, :3].T + camera.view[:3, 3]
+        wc = -vv[:, 2]
+        cl = vv @ camera.proj[:3, :3].T + camera.proj[:3, 3]
+        ndc = cl / wc[:, None]
+        return (jnp.stack([(ndc[:, 0] + 1) * 0.5 * w,
+                           (1 - ndc[:, 1]) * 0.5 * h], 1), ndc[:, 2], wc)
+
+    pa, za, wa = project(a)
+    pb, zb, wb = project(b)
+    ok = (wa > camera.znear) & (wb > camera.znear)
+
+    px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :, None]
+    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None, None]
+    ab = pb - pa                                       # [L,2]
+    ap_x = px - pa[None, None, :, 0]
+    ap_y = py - pa[None, None, :, 1]
+    ab2 = jnp.sum(ab * ab, axis=1)
+    s = (ap_x * ab[None, None, :, 0] + ap_y * ab[None, None, :, 1]) / jnp.maximum(ab2, 1e-12)
+    s = jnp.clip(s, 0.0, 1.0)
+    dx = ap_x - s * ab[None, None, :, 0]
+    dy = ap_y - s * ab[None, None, :, 1]
+    dist2 = dx * dx + dy * dy
+    on_line = (dist2 <= (0.5 + px_width / 2) ** 2) & ok[None, None, :]
+    z = za[None, None, :] + s * (zb - za)[None, None, :]
+    z = jnp.where(on_line, z, jnp.inf)
+    zmin = jnp.min(z, axis=2)
+    win = (zmin < fb.depth) & jnp.isfinite(zmin)
+    c = jnp.asarray(color, jnp.float32)
+    return Framebuffer(
+        color=jnp.where(win[..., None], c, fb.color),
+        depth=jnp.where(win, zmin, fb.depth),
+    )
