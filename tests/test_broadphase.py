@@ -1,0 +1,132 @@
+"""Uniform-grid broad-phase, granular sim, and cloth self-collision tests
+(BASELINE configs[2]/[3])."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wgpu_physics_engine_tpu.core import config as cfg
+from wgpu_physics_engine_tpu.core.state import ClothParams, ParticleState, init_cloth_state
+from wgpu_physics_engine_tpu.models import broadphase, cloth, granular
+
+
+def brute_force_pair_forces(pos, radius, k):
+    """O(N²) reference narrow phase."""
+    n = pos.shape[1]
+    f = np.zeros_like(pos)
+    md = 2 * radius
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            d = pos[:, i] - pos[:, j]
+            dist = np.sqrt((d * d).sum())
+            if 1e-6 < dist < md:
+                f[:, i] += k * (md - dist) / dist * d
+    return f
+
+
+def test_table_contains_all_particles():
+    key = jax.random.key(0)
+    pos = jax.random.uniform(key, (3, 100), jnp.float32, minval=-5, maxval=5)
+    spec = broadphase.GridSpec(origin=(-6, -6, -6), cell_size=1.0,
+                               dims=(12, 12, 12), capacity=16)
+    table = np.asarray(broadphase.build_table(pos, spec))
+    found = table[table >= 0]
+    assert len(found) == 100
+    assert sorted(found.tolist()) == list(range(100))
+
+
+def test_pair_forces_match_brute_force():
+    key = jax.random.key(1)
+    pos = jax.random.uniform(key, (3, 60), jnp.float32, minval=-2, maxval=2)
+    vel = jnp.zeros_like(pos)
+    radius, k = 0.3, 100.0
+    spec = broadphase.GridSpec(origin=(-3, -3, -3), cell_size=0.6,
+                               dims=(10, 10, 10), capacity=32)
+    table = broadphase.build_table(pos, spec)
+    got = np.asarray(broadphase.pair_forces(pos, vel, table, spec, radius, k))
+    ref = brute_force_pair_forces(np.asarray(pos), radius, k)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_capacity_overflow_is_dropped_not_corrupt():
+    # 20 coincident-cell particles with capacity 4: table stays well-formed
+    pos = jnp.zeros((3, 20), jnp.float32) + 0.5
+    spec = broadphase.GridSpec(origin=(0, 0, 0), cell_size=1.0,
+                               dims=(2, 2, 2), capacity=4)
+    table = np.asarray(broadphase.build_table(pos, spec))
+    assert (table >= -1).all() and (table < 20).all()
+    assert (table >= 0).sum() == 4
+
+
+def test_granular_two_particle_bounce():
+    """Two overlapping particles repel along their axis."""
+    config = granular.GranularConfig(num_particles=2, radius=0.5,
+                                     bounds=5.0, gravity=0.0, k_contact=100.0)
+    pos = jnp.array([[-0.4, 0.4], [0.0, 0.0], [0.0, 0.0]], jnp.float32)
+    state = ParticleState(pos=pos, vel=jnp.zeros_like(pos))
+    out = granular.multi_step(state, config, jnp.float32(0.01), 10)
+    p = np.asarray(out.pos)
+    assert p[0, 0] < -0.4 and p[0, 1] > 0.4        # pushed apart
+    np.testing.assert_allclose(p[1:], 0.0, atol=1e-5)
+
+
+def test_granular_settles_on_ground():
+    config = granular.GranularConfig(num_particles=512, radius=0.1,
+                                     bounds=4.0, restitution=0.3)
+    state = granular.init_state(config, jax.random.key(0))
+    out = granular.multi_step(state, config, jnp.float32(1 / 240), 600)
+    p = np.asarray(out.pos)
+    assert np.isfinite(p).all()
+    limit = config.bounds - config.radius
+    assert (np.abs(p) <= limit + 1e-4).all()
+    # everything has fallen into the lower half
+    assert p[1].mean() < 0.0
+
+
+def test_cloth_self_collision_repels():
+    """Two halves of a folded cloth cannot interpenetrate: with self-
+    collision the minimum pairwise distance stays near 2r; without it the
+    halves pass through each other."""
+    c = cfg.ClothConfig(height=8, width=8, cloth_size=2.0,
+                        center=(0.0, 40.0, 0.0), particle_radius=0.12)
+    params = ClothParams.from_config(c)._replace(gravity=jnp.float32(0.0))
+    state = init_cloth_state(c)
+    # two flat sheets approaching: shift rows 4-7 up by 1 and give them
+    # downward velocity (rest: upward) — emulated by stacking along y
+    pos = np.asarray(state.pos).copy()
+    pos[0, 4:, :] = pos[0, :4, :]      # sheet B directly above sheet A
+    pos[2, 4:, :] = pos[2, :4, :]
+    pos[1, 4:, :] += 1.0
+    vel = np.zeros_like(pos)
+    vel[1, 4:, :] = -4.0
+    vel[1, :4, :] = 4.0
+    # rebuild as two disconnected halves is not possible with grid springs;
+    # instead disable springs to isolate the contact behavior
+    params = params._replace(k_struct=jnp.float32(0.0),
+                             k_shear=jnp.float32(0.0),
+                             k_bend=jnp.float32(0.0),
+                             c_struct=jnp.float32(0.0),
+                             c_shear=jnp.float32(0.0),
+                             c_bend=jnp.float32(0.0))
+    st = state._replace(pos=jnp.asarray(pos), vel=jnp.asarray(vel))
+    grid = cloth.default_self_collision_grid(c)
+
+    out = cloth.multi_step_self_collide(st, params, jnp.float32(1 / 480), 60,
+                                        grid)
+    p = np.asarray(out.pos).reshape(3, -1)
+    d = np.linalg.norm(p.T[:, None] - p.T[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    # penalty contact bounds penetration at the stiffness equilibrium
+    # overlap ≈ v_rel/2 · sqrt(m/k) ≈ 0.09, so min distance stays near
+    # 2r − overlap ≈ 0.15; deep interpenetration would be ≪ r.
+    assert d.min() > 0.8 * c.particle_radius
+
+    out2 = cloth.multi_step(st, params, jnp.float32(1 / 480), 60)
+    p2 = np.asarray(out2.pos).reshape(3, -1)
+    d2 = np.linalg.norm(p2.T[:, None] - p2.T[None], axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    assert d2.min() < 0.01                     # without contact: pass-through
+    assert d.min() > 10 * d2.min()

@@ -1,0 +1,106 @@
+"""Scene/application-layer tests (L5/L6 parity): frame contract, runtime
+sliders, datagen pipeline, checkpoint."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wgpu_physics_engine_tpu.core import config as cfg
+from wgpu_physics_engine_tpu.models import scenes
+from wgpu_physics_engine_tpu.parallel import datagen
+from wgpu_physics_engine_tpu.utils import checkpoint
+
+
+SMALL = dict(height=8, width=8)
+
+
+def test_cloth_scene_frame_contract():
+    s = scenes.ClothScene(config=cfg.ClothConfig(**SMALL), use_pallas=False)
+    s.update(1.0 / 60.0)
+    img = s.render(32, 48)
+    assert img.shape == (32, 48, 3)
+    assert np.isfinite(img).all()
+    assert s.instance_count == 64
+
+
+def test_cloth_scene_sliders_no_retrace():
+    """Slider changes go through traced params — same compiled program."""
+    s = scenes.ClothScene(config=cfg.ClothConfig(**SMALL), use_pallas=False)
+    s.update(1.0 / 60.0)
+    from wgpu_physics_engine_tpu.models import cloth
+    n0 = cloth.multi_step._cache_size()
+    s.set_gravity(-3.0)
+    s.set_speed_damp(0.99)
+    s.update(1.0 / 60.0)
+    assert cloth.multi_step._cache_size() == n0
+
+
+def test_cloth_radius_slider_resets_state():
+    s = scenes.ClothScene(config=cfg.ClothConfig(**SMALL), use_pallas=False)
+    s.simulate(0.5)
+    moved = np.asarray(s.state.pos).copy()
+    s.set_particle_radius(0.2)
+    reset = np.asarray(s.state.pos)
+    assert not np.array_equal(moved, reset)
+    assert (reset[1] == np.float32(40.0)).all()   # back at spawn height
+
+
+def test_scene_camera_and_light_controls():
+    s = scenes.GlobeScene()
+    s.orbit(d_theta=0.3, d_phi=0.1)
+    s.set_zoom(25.0)
+    s.set_light(ks=1.0, shininess=40.0, compute_specular=False)
+    s.resize(400, 200)
+    img = s.render(20, 40)
+    assert img.shape == (20, 40, 3)
+
+
+def test_free_particle_scene_updates():
+    s = scenes.FreeParticleScene(config=cfg.FreeParticleConfig(num_particles=8))
+    p0 = np.asarray(s.state.pos).copy()
+    s.update(1.0 / 30.0)
+    assert not np.array_equal(p0, np.asarray(s.state.pos))
+    s.set_gravity((0.0, -2.0, 0.0))
+    s.set_time_scale(0.5)
+    s.update(1.0 / 30.0)
+    img = s.render(24, 32)
+    assert np.isfinite(img).all()
+
+
+def test_datagen_batch_shapes_and_diversity():
+    gen = datagen.generate_trajectory_dataset(
+        cfg.ClothConfig(height=8, width=8), n_worlds=4, n_frames=2,
+        steps_per_frame=4, key=jax.random.key(0), fb_size=(24, 24),
+        use_pallas=False)
+    frames = list(gen)
+    assert len(frames) == 2
+    _, imgs, batches = frames[-1]
+    assert imgs.shape == (4, 24, 24, 3)
+    # worlds differ (randomized spawn heights / stiffness)
+    st = batches[0].state
+    assert not np.array_equal(np.asarray(st.pos[0]), np.asarray(st.pos[1]))
+    p = batches[0].params
+    assert len(set(np.asarray(p.k_struct).tolist())) > 1
+
+
+def test_datagen_pallas_batch_path():
+    """Batched pallas stepper (lax.map over worlds) runs in interpret mode."""
+    from wgpu_physics_engine_tpu.core.state import ClothParams
+    batch = datagen.randomized_worlds(cfg.ClothConfig(height=8, width=8), 3,
+                                      jax.random.key(1))
+    from wgpu_physics_engine_tpu.ops import cloth_pallas
+    out = cloth_pallas.multi_step(batch.state, batch.params,
+                                  jnp.float32(1 / 480), 4, interpret=True)
+    assert out.pos.shape == (3, 3, 8, 8)
+    assert np.isfinite(np.asarray(out.pos)).all()
+
+
+def test_checkpoint_roundtrip_scene_state(tmp_path):
+    s = scenes.ClothScene(config=cfg.ClothConfig(**SMALL), use_pallas=False)
+    s.simulate(0.25)
+    path = str(tmp_path / "state.npz")
+    checkpoint.save(path, s.state, {"sim_t": 0.25})
+    restored, meta = checkpoint.load(path, s.state)
+    np.testing.assert_array_equal(np.asarray(restored.pos), np.asarray(s.state.pos))
+    assert meta["sim_t"] == 0.25

@@ -1,3 +1,3 @@
-from . import cloth, oracle, particles
+from . import cloth, oracle, particles, scenes
 
-__all__ = ["cloth", "oracle", "particles"]
+__all__ = ["cloth", "oracle", "particles", "scenes"]

@@ -1,0 +1,119 @@
+"""Sort-based uniform-grid broad-phase (BASELINE configs[2]/[3]).
+
+The reference has no neighbor search at all (its only pair interaction is
+the O(N·S) spring scan). On TPU, scatter-heavy linked-cell grids are
+replaced by a **sort-based fixed-capacity bucket table**:
+
+1. quantize positions to cells, linearize to cell ids,
+2. sort particle indices by cell id (``jnp.argsort``; XLA's TPU sort),
+3. rank within each cell via first-occurrence search, scatter indices into a
+   ``[num_cells, capacity]`` table (overflow dropped deterministically),
+4. query = for each of the 27 neighbor cells, gather candidates and apply a
+   pairwise kernel (masked; scanned over offsets to bound memory).
+
+All shapes are static; capacity is the only tuning knob (candidates beyond
+it are ignored, like a fixed-size cell list).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Static uniform-grid description. ``cell_size`` must be ≥ the
+    interaction diameter for 27-cell completeness."""
+
+    origin: Tuple[float, float, float]
+    cell_size: float
+    dims: Tuple[int, int, int]       # cells per axis
+    capacity: int = 8                # max particles per cell
+
+    @property
+    def num_cells(self) -> int:
+        return self.dims[0] * self.dims[1] * self.dims[2]
+
+
+def cell_ids(pos: jnp.ndarray, spec: GridSpec, origin=None) -> jnp.ndarray:
+    """Linear cell id per particle. ``pos``: [3, N]. ``origin`` may be a
+    traced [3] array (a grid that follows the object's bounding box);
+    defaults to the static ``spec.origin``."""
+    if origin is None:
+        origin = jnp.asarray(spec.origin, jnp.float32)
+    origin = origin[:, None]
+    c = jnp.floor((pos - origin) / spec.cell_size).astype(jnp.int32)
+    dims = jnp.asarray(spec.dims, jnp.int32)[:, None]
+    c = jnp.clip(c, 0, dims - 1)
+    return (c[0] * spec.dims[1] + c[1]) * spec.dims[2] + c[2]
+
+
+def build_table(pos: jnp.ndarray, spec: GridSpec, origin=None) -> jnp.ndarray:
+    """Bucket table ``[num_cells, capacity]`` of particle indices (-1 = empty).
+
+    Deterministic: within a cell, particles appear in index order (argsort is
+    stable); overflow beyond ``capacity`` is dropped.
+    """
+    n = pos.shape[-1]
+    cid = cell_ids(pos, spec, origin)
+    order = jnp.argsort(cid, stable=True)
+    sorted_cid = cid[order]
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    slot = sorted_cid.astype(jnp.int32) * spec.capacity + rank
+    keep = rank < spec.capacity
+    # overflow entries get an out-of-range slot, dropped by mode="drop"
+    slot = jnp.where(keep, slot, spec.num_cells * spec.capacity)
+    table = jnp.full((spec.num_cells * spec.capacity,), -1, jnp.int32)
+    table = table.at[slot].set(order.astype(jnp.int32), mode="drop")
+    return table.reshape(spec.num_cells, spec.capacity)
+
+
+_OFFSETS = jnp.asarray(
+    [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    jnp.int32)
+
+
+def pair_forces(pos: jnp.ndarray, vel: jnp.ndarray, table: jnp.ndarray,
+                spec: GridSpec, radius, k_contact, origin=None) -> jnp.ndarray:
+    """Pairwise sphere penalty contact via the grid: for each particle, sum
+    ``k_contact · overlap · n̂`` over neighbors within ``2·radius``
+    (the narrow phase of BASELINE configs[2]/[3]); ``pos``/``vel``: [3, N].
+
+    Returns force [3, N]. Scans the 27 cell offsets to bound peak memory at
+    ``[N, capacity]`` per offset.
+    """
+    n = pos.shape[-1]
+    if origin is None:
+        origin = jnp.asarray(spec.origin, jnp.float32)
+    c = jnp.floor((pos - origin[:, None]) / spec.cell_size).astype(jnp.int32)
+    dims = jnp.asarray(spec.dims, jnp.int32)
+    c = jnp.clip(c, 0, dims[:, None] - 1)
+    min_dist = 2.0 * jnp.float32(radius)
+    idx_self = jnp.arange(n, dtype=jnp.int32)
+
+    def one_offset(force, off):
+        nc = c + off[:, None]
+        in_grid = jnp.all((nc >= 0) & (nc < dims[:, None]), axis=0)
+        ncid = (nc[0] * spec.dims[1] + nc[1]) * spec.dims[2] + nc[2]
+        ncid = jnp.where(in_grid, ncid, 0)
+        cand = table[ncid]                                  # [N, cap]
+        valid = (cand >= 0) & in_grid[:, None] & (cand != idx_self[:, None])
+        cand_safe = jnp.where(valid, cand, 0)
+        cpos = pos[:, cand_safe]                            # [3, N, cap]
+        d = pos[:, :, None] - cpos
+        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+        touching = valid & (dist < min_dist) & (dist > 1e-6)
+        inv = 1.0 / jnp.where(dist > 1e-6, dist, 1.0)
+        overlap = min_dist - dist
+        f = jnp.where(touching[None], (k_contact * overlap * inv)[None] * d, 0.0)
+        return force + jnp.sum(f, axis=2), None
+
+    force0 = jnp.zeros_like(pos)
+    force, _ = jax.lax.scan(one_offset, force0, _OFFSETS)
+    return force

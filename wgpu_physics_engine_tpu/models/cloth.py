@@ -169,6 +169,71 @@ def substep(state: ClothState, params: ClothParams, dt: jnp.ndarray) -> ClothSta
     return state._replace(pos=pos, vel=vel)
 
 
+def self_collision_forces(pos: jnp.ndarray, vel: jnp.ndarray, p: ClothParams,
+                          grid_spec, k_self=None) -> jnp.ndarray:
+    """Cloth self-collision (BASELINE configs[3]): spatial-hash broad-phase
+    over the cloth's own particles + pairwise sphere penalty narrow-phase.
+
+    An extension over the reference (which has no self-collision); the
+    narrow-phase force is the same elastic penalty law as its sphere contact
+    (compute_movement.wgsl:107-117) applied between particle pairs closer
+    than ``2 · particle_radius``. Directly-linked grid neighbors sit at
+    ~rest_struct ≫ 2r by default and are naturally excluded by distance.
+    """
+    from . import broadphase
+
+    h, w = pos.shape[-2:]
+    flat_pos = pos.reshape(3, h * w)
+    flat_vel = vel.reshape(3, h * w)
+    # grid origin follows the cloth bounding box (static dims/cell size)
+    origin = jnp.min(flat_pos, axis=1) - grid_spec.cell_size
+    table = broadphase.build_table(flat_pos, grid_spec, origin)
+    k = p.k_contact if k_self is None else k_self
+    f = broadphase.pair_forces(flat_pos, flat_vel, table, grid_spec,
+                               p.particle_radius, k, origin)
+    return f.reshape(3, h, w)
+
+
+def substep_self_collide(state: ClothState, params: ClothParams,
+                         dt: jnp.ndarray, grid_spec) -> ClothState:
+    """Substep with cloth self-collision folded into the force accumulation
+    (springs + self-contact → integrate)."""
+    force = spring_forces(state.pos, state.vel, params)
+    force = force + self_collision_forces(state.pos, state.vel, params, grid_spec)
+    pos, vel = integrate(state.pos, state.vel, force, params, dt)
+    if state.pin_mask is not None:
+        pin = state.pin_mask[None]
+        pos = jnp.where(pin, state.pin_pos, pos)
+        vel = jnp.where(pin, 0.0, vel)
+    return state._replace(pos=pos, vel=vel)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "grid_spec"))
+def multi_step_self_collide(state: ClothState, params: ClothParams,
+                            dt: jnp.ndarray, n_steps: int, grid_spec) -> ClothState:
+    def body(s, _):
+        return substep_self_collide(s, params, dt, grid_spec), None
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
+
+
+def default_self_collision_grid(config, pad: float = 1.5):
+    """GridSpec for cloth self-collision: cell ≈ the contact diameter
+    (low occupancy), dims sized to the cloth's possible span; the grid
+    ORIGIN is dynamic (follows the cloth bbox — see
+    :func:`self_collision_forces`), so the domain stays tight."""
+    from . import broadphase
+
+    r = config.particle_radius
+    cell = 2.05 * r
+    span = pad * max(config.cloth_size, 2.2 * config.globe_radius)
+    dims = min(int(span / cell) + 2, 256)
+    return broadphase.GridSpec(origin=(0.0, 0.0, 0.0),
+                               cell_size=cell, dims=(dims, dims, dims),
+                               capacity=8)
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps",))
 def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray, n_steps: int) -> ClothState:
     """``n_steps`` substeps under one jit via ``lax.scan`` — the TPU

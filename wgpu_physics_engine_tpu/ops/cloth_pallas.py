@@ -197,9 +197,23 @@ def _default_interpret() -> bool:
 def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
                n_steps: int, interpret: Optional[bool] = None) -> ClothState:
     """Run ``n_steps`` substeps in ONE fused kernel launch. Drop-in
-    equivalent of :func:`models.cloth.multi_step`."""
+    equivalent of :func:`models.cloth.multi_step`.
+
+    Batched states (``pos`` [B, 3, H, W]) are looped via ``lax.map`` — one
+    kernel launch per world, which is what a vmapped kernel would execute
+    on a single core anyway (and avoids vmap-of-SMEM-blockspec limits).
+    Batched states require batched params (leaves [B]) or shared scalars;
+    pins must be batched alongside if present.
+    """
     if interpret is None:
         interpret = _default_interpret()
+    if state.pos.ndim == 4:
+        if jnp.ndim(params.k_struct) >= 1:
+            return jax.lax.map(
+                lambda x: multi_step(x[0], x[1], dt, n_steps, interpret),
+                (state, params))
+        return jax.lax.map(
+            lambda s: multi_step(s, params, dt, n_steps, interpret), state)
     h, w = state.pos.shape[-2:]
     use_pins = state.pin_mask is not None
     pvec = _pack_params(params, dt)

@@ -1,0 +1,138 @@
+"""Batched datagen: thousands of vmapped cloth worlds stepped and rendered
+to framebuffers per launch (BASELINE.json configs[4]: "4096 vmapped cloth
+scenes + headless instanced-sphere render to 256² framebuffers").
+
+The reference has no datagen story at all (single interactive window); this
+is the north-star capability the TPU rebuild exists for. Worlds are
+embarrassingly parallel: under a ``worlds`` mesh axis the step and render
+partition with zero collectives (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import config as cfg
+from ..core.state import ClothParams, ClothState, init_cloth_state
+from ..models import cloth
+from .. import render as R
+from ..render import texture as T
+
+
+class WorldBatch(NamedTuple):
+    """A batch of independent cloth worlds (leading axis = world)."""
+
+    state: ClothState          # pos/vel [B, 3, H, W]
+    params: ClothParams        # each leaf [B]
+
+
+def randomized_worlds(config: cfg.ClothConfig, n_worlds: int, key: jax.Array,
+                      height_jitter: float = 5.0,
+                      vel_jitter: float = 1.0,
+                      stiffness_jitter: float = 0.2) -> WorldBatch:
+    """Sample varied initial conditions: spawn height, initial velocity,
+    and spring-stiffness scale per world — the knobs the reference exposes
+    as egui sliders, randomized for dataset diversity."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    base = init_cloth_state(config)
+    dy = jax.random.uniform(k1, (n_worlds,), jnp.float32,
+                            minval=-height_jitter, maxval=height_jitter)
+    pos = jnp.broadcast_to(base.pos, (n_worlds,) + base.pos.shape)
+    pos = pos.at[:, 1].add(dy[:, None, None])
+    vel = vel_jitter * jax.random.normal(
+        k2, (n_worlds,) + base.vel.shape, jnp.float32)
+
+    p1 = ClothParams.from_config(config)
+    scale = 1.0 + stiffness_jitter * jax.random.uniform(
+        k3, (n_worlds,), jnp.float32, minval=-1.0, maxval=1.0)
+    ones = jnp.ones((n_worlds,), jnp.float32)
+    params = ClothParams(*[jnp.broadcast_to(leaf, (n_worlds,)) for leaf in p1])
+    params = params._replace(
+        k_struct=p1.k_struct * scale,
+        k_shear=p1.k_shear * scale,
+        k_bend=p1.k_bend * scale,
+    )
+    del ones
+    return WorldBatch(state=ClothState(pos=pos, vel=vel), params=params)
+
+
+def _render_world(pos: jnp.ndarray, camera: R.Camera, globe_radius,
+                  particle_radius, globe_tex, light: cfg.LightConfig,
+                  fb_size: Tuple[int, int], chunk: int) -> jnp.ndarray:
+    h, w = fb_size
+    fb = R.clear(h, w)
+    fb = R.draw_globe(fb, camera, globe_radius, globe_tex, light)
+    centers = pos.reshape(3, -1).T
+    fb = R.draw_instanced_spheres(fb, camera, centers, particle_radius,
+                                  light, chunk=chunk)
+    return fb.color
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "fb_size", "chunk",
+                                             "use_pallas"))
+def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
+                    camera: R.Camera, globe_tex: jnp.ndarray,
+                    light: cfg.LightConfig = cfg.LightConfig(),
+                    fb_size: Tuple[int, int] = (256, 256),
+                    chunk: int = 512,
+                    use_pallas: bool = True) -> Tuple[WorldBatch, jnp.ndarray]:
+    """Advance every world ``n_steps`` substeps, then render each to a
+    framebuffer. Returns (new batch, images [B, h, w, 3]). Fully on-device;
+    shard the batch over a ``worlds`` mesh axis to scale across chips."""
+    if use_pallas:
+        from ..ops import cloth_pallas
+        stepper = cloth_pallas.multi_step
+    else:
+        stepper = cloth.multi_step
+
+    def one(state, params):
+        return stepper(state, params, dt, n_steps)
+
+    new_state = jax.vmap(one)(batch.state, batch.params)
+
+    def rend(state, params):
+        return _render_world(state.pos, camera, params.globe_radius,
+                             params.particle_radius, globe_tex, light,
+                             fb_size, chunk)
+
+    images = jax.vmap(rend)(new_state, batch.params)
+    return WorldBatch(state=new_state, params=batch.params), images
+
+
+def generate_trajectory_dataset(
+    config: cfg.ClothConfig, n_worlds: int, n_frames: int,
+    steps_per_frame: int, key: jax.Array,
+    fb_size: Tuple[int, int] = (256, 256),
+    camera: Optional[R.Camera] = None,
+    globe_tex: Optional[jnp.ndarray] = None,
+    world_chunk: Optional[int] = None,
+    use_pallas: bool = True,
+):
+    """Yield (frame_idx, images [B, h, w, 3], batch) host-side per frame.
+
+    ``world_chunk`` bounds device memory: worlds are processed in chunks of
+    that size (default: all at once).
+    """
+    import numpy as np
+
+    camera = camera or R.make_camera(cfg.CameraConfig(), aspect=1.0)
+    globe_tex = T.checkerboard() if globe_tex is None else globe_tex
+    world_chunk = world_chunk or n_worlds
+    dt = jnp.float32(1.0 / config.hz)
+
+    batches = []
+    for i, k in enumerate(jax.random.split(key, n_worlds // world_chunk)):
+        batches.append(randomized_worlds(config, world_chunk, k))
+
+    for f in range(n_frames):
+        imgs = []
+        for bi in range(len(batches)):
+            batches[bi], im = step_and_render(
+                batches[bi], dt, steps_per_frame, camera, globe_tex,
+                fb_size=fb_size, use_pallas=use_pallas)
+            imgs.append(np.asarray(im))
+        yield f, np.concatenate(imgs, axis=0), batches
