@@ -17,6 +17,7 @@ the same capabilities designed TPU-first:
 
 __version__ = "0.1.0"
 
+from . import native
 from .core import config
 from .core.config import (
     CameraConfig,

@@ -1,0 +1,109 @@
+"""CLI entry points — the analog of the reference's five binary crates
+(``simulations/*/src/main.rs``): run a scene headless, write PNG/GIF
+artifacts, or benchmark.
+
+    python -m wgpu_physics_engine_tpu cube        --out cube.png
+    python -m wgpu_physics_engine_tpu textured    --out tex.png
+    python -m wgpu_physics_engine_tpu globe       --out globe.png
+    python -m wgpu_physics_engine_tpu particles   --seconds 4 --gif box.gif
+    python -m wgpu_physics_engine_tpu cloth       --seconds 5 --gif cloth.gif
+    python -m wgpu_physics_engine_tpu datagen     --worlds 64 --frames 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="wgpu_physics_engine_tpu")
+    p.add_argument("scene", choices=["cube", "textured", "globe", "particles",
+                                     "cloth", "datagen"])
+    p.add_argument("--out", default=None, help="PNG path for a single frame")
+    p.add_argument("--gif", default=None, help="animated GIF path")
+    p.add_argument("--seconds", type=float, default=3.0,
+                   help="simulated seconds (cloth/particles)")
+    p.add_argument("--fps", type=int, default=20, help="GIF frames/sec")
+    p.add_argument("--size", type=int, nargs=2, default=(256, 256),
+                   metavar=("H", "W"))
+    p.add_argument("--grid", type=int, default=None,
+                   help="cloth particles per side (default 60)")
+    p.add_argument("--worlds", type=int, default=64)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--outdir", default="datagen_out")
+    args = p.parse_args(argv)
+
+    from .core import config as cfg
+    from .models import scenes
+    from .utils import viewer
+
+    t0 = time.time()
+    if args.scene == "datagen":
+        import jax
+        import numpy as np
+        import os
+
+        from .parallel import datagen
+        from . import native
+
+        c = cfg.ClothConfig() if args.grid is None else cfg.ClothConfig(
+            height=args.grid, width=args.grid)
+        gen = datagen.generate_trajectory_dataset(
+            c, n_worlds=args.worlds, n_frames=args.frames, steps_per_frame=24,
+            key=jax.random.key(0), fb_size=tuple(args.size))
+        os.makedirs(args.outdir, exist_ok=True)
+        writer = native.ShardWriter() if native.available() else None
+        n = 0
+        for f, imgs, _ in gen:
+            path = os.path.join(args.outdir, f"frame_{f:05d}.npy")
+            if writer is not None:
+                writer.submit(path, imgs)
+            else:
+                np.save(path, imgs)
+            n += imgs.shape[0]
+            print(f"frame {f}: {imgs.shape} -> {path}")
+        if writer is not None:
+            written = writer.close()
+            print(f"async writer: {written} shards")
+        print(f"datagen: {n} world-frames in {time.time()-t0:.1f}s")
+        return 0
+
+    if args.scene == "cube":
+        s = scenes.CubeScene()
+    elif args.scene == "textured":
+        s = scenes.TexturedCubeScene()
+    elif args.scene == "globe":
+        s = scenes.GlobeScene()
+    elif args.scene == "particles":
+        s = scenes.FreeParticleScene(
+            config=cfg.FreeParticleConfig(num_particles=10))
+    else:
+        c = cfg.ClothConfig() if args.grid is None else cfg.ClothConfig(
+            height=args.grid, width=args.grid)
+        s = scenes.ClothScene(config=c)
+
+    h, w = args.size
+    if args.gif:
+        frames = []
+        n = int(args.seconds * args.fps)
+        for i in range(n):
+            s.update(1.0 / args.fps)
+            frames.append(s.render(h, w))
+        viewer.save_gif(frames, args.gif, fps=args.fps)
+        print(f"wrote {args.gif}: {n} frames in {time.time()-t0:.1f}s")
+    else:
+        if args.scene in ("cloth", "particles"):
+            if hasattr(s, "simulate"):
+                s.simulate(args.seconds)
+            else:
+                s.update(args.seconds)
+        out = args.out or f"{args.scene}.png"
+        viewer.save_png(s.render(h, w), out)
+        print(f"wrote {out} in {time.time()-t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,14 +85,15 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
     shard the batch over a ``worlds`` mesh axis to scale across chips."""
     if use_pallas:
         from ..ops import cloth_pallas
-        stepper = cloth_pallas.multi_step
+
+        # batch-aware pallas path: lax.map over worlds inside (vmapping a
+        # pallas_call with SMEM scalar inputs is not supported)
+        new_state = cloth_pallas.multi_step(batch.state, batch.params, dt,
+                                            n_steps)
     else:
-        stepper = cloth.multi_step
-
-    def one(state, params):
-        return stepper(state, params, dt, n_steps)
-
-    new_state = jax.vmap(one)(batch.state, batch.params)
+        new_state = jax.vmap(
+            lambda s, p: cloth.multi_step(s, p, dt, n_steps)
+        )(batch.state, batch.params)
 
     def rend(state, params):
         return _render_world(state.pos, camera, params.globe_radius,

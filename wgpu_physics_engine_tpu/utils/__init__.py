@@ -1,3 +1,3 @@
-from . import checkpoint, profiling, viewer
+from . import checkpoint, debug, metrics, profiling, viewer
 
-__all__ = ["checkpoint", "profiling", "viewer"]
+__all__ = ["checkpoint", "debug", "metrics", "profiling", "viewer"]
