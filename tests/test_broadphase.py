@@ -51,6 +51,21 @@ def test_pair_forces_match_brute_force():
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
 
 
+def test_pair_forces_sorted_matches_brute_force():
+    """The scatter-free sorted-window path gives the same forces."""
+    key = jax.random.key(2)
+    pos = jax.random.uniform(key, (3, 80), jnp.float32, minval=-2, maxval=2)
+    vel = jnp.zeros_like(pos)
+    radius, k = 0.3, 100.0
+    spec = broadphase.GridSpec(origin=(-3, -3, -3), cell_size=0.6,
+                               dims=(10, 10, 10), capacity=32)
+    grid = broadphase.build_sorted_grid(pos, vel, spec)
+    got = np.asarray(broadphase.pair_forces_sorted(grid, spec, radius, k,
+                                                   window=96))
+    ref = brute_force_pair_forces(np.asarray(pos), radius, k)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
 def test_capacity_overflow_is_dropped_not_corrupt():
     # 20 coincident-cell particles with capacity 4: table stays well-formed
     pos = jnp.zeros((3, 20), jnp.float32) + 0.5

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,93 @@ def build_table(pos: jnp.ndarray, spec: GridSpec, origin=None) -> jnp.ndarray:
 _OFFSETS = jnp.asarray(
     [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
     jnp.int32)
+
+# 9 (dx, dy) offset groups; each covers the z-contiguous cell triple
+# [dz-1, dz, dz+1] as ONE sorted-array window.
+_OFFSETS_XY = jnp.asarray(
+    [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], jnp.int32)
+
+
+class SortedGrid(NamedTuple):
+    """Scatter-free broad-phase structure: particles reordered by cell id +
+    per-cell range starts. TPU scatters serialize (~µs/element), so instead
+    of a bucket table we keep the SORTED arrays and answer neighbor queries
+    with contiguous windows over them:
+
+    the 27 neighbor cells = 9 (dx, dy) groups × 3 z-contiguous cells, and
+    each group's candidates form one contiguous index range
+    ``[cell_start[c0], cell_start[c0+3])`` of the sorted order.
+    """
+
+    order: jnp.ndarray        # [N] original index of sorted slot
+    sorted_cid: jnp.ndarray   # [N]
+    cell_start: jnp.ndarray   # [num_cells + 3] first sorted slot of each cell
+    sorted_pos: jnp.ndarray   # [3, N]
+    sorted_vel: jnp.ndarray   # [3, N]
+
+
+def build_sorted_grid(pos: jnp.ndarray, vel: jnp.ndarray, spec: GridSpec,
+                      origin=None) -> SortedGrid:
+    cid = cell_ids(pos, spec, origin)
+    order = jnp.argsort(cid, stable=True)
+    sorted_cid = cid[order]
+    cells = jnp.arange(spec.num_cells + 3, dtype=sorted_cid.dtype)
+    cell_start = jnp.searchsorted(sorted_cid, cells, side="left").astype(jnp.int32)
+    return SortedGrid(order=order.astype(jnp.int32), sorted_cid=sorted_cid,
+                      cell_start=cell_start,
+                      sorted_pos=pos[:, order], sorted_vel=vel[:, order])
+
+
+def pair_forces_sorted(grid: SortedGrid, spec: GridSpec, radius, k_contact,
+                       window: int, origin=None) -> jnp.ndarray:
+    """Pairwise penalty contact using the scatter-free structure.
+
+    Returns forces in ORIGINAL particle order, [3, N]. ``window`` bounds the
+    candidates taken per (dx, dy) group (≈ 3 × expected cell occupancy);
+    extras beyond it are dropped, like table capacity.
+    """
+    pos = grid.sorted_pos
+    vel = grid.sorted_vel
+    n = pos.shape[-1]
+    if origin is None:
+        origin = jnp.asarray(spec.origin, jnp.float32)
+    c = jnp.floor((pos - origin[:, None]) / spec.cell_size).astype(jnp.int32)
+    dims = jnp.asarray(spec.dims, jnp.int32)
+    c = jnp.clip(c, 0, dims[:, None] - 1)
+    min_dist = 2.0 * jnp.float32(radius)
+    slot_self = jnp.arange(n, dtype=jnp.int32)
+    k_idx = jnp.arange(window, dtype=jnp.int32)
+
+    def one_group(force, off):
+        dx, dy = off[0], off[1]
+        okxy = ((c[0] + dx >= 0) & (c[0] + dx < dims[0]) &
+                (c[1] + dy >= 0) & (c[1] + dy < dims[1]))
+        # first cell of the z-triple (clamped; invalid handled by okxy/z mask)
+        ncx = jnp.clip(c[0] + dx, 0, dims[0] - 1)
+        ncy = jnp.clip(c[1] + dy, 0, dims[1] - 1)
+        ncz0 = jnp.maximum(c[2] - 1, 0)
+        c0 = (ncx * spec.dims[1] + ncy) * spec.dims[2] + ncz0
+        zspan = jnp.minimum(c[2] + 2, dims[2]) - ncz0   # 2 or 3 cells
+        start = grid.cell_start[c0]
+        end = grid.cell_start[c0 + zspan]
+        idx = start[:, None] + k_idx[None, :]            # [N, window]
+        valid = (idx < end[:, None]) & okxy[:, None]
+        idx = jnp.clip(idx, 0, n - 1)
+        valid = valid & (idx != slot_self[:, None])
+        cpos = pos[:, idx]                               # [3, N, window]
+        d = pos[:, :, None] - cpos
+        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+        touching = valid & (dist < min_dist) & (dist > 1e-6)
+        inv = 1.0 / jnp.where(dist > 1e-6, dist, 1.0)
+        f = jnp.where(touching[None], (k_contact * (min_dist - dist) * inv)[None] * d, 0.0)
+        return force + jnp.sum(f, axis=2), None
+
+    force0 = jnp.zeros_like(pos)
+    force, _ = jax.lax.scan(one_group, force0, _OFFSETS_XY)
+    # unsort back to original particle order via inverse-permutation GATHER
+    # (a scatter here would reintroduce the cost this path exists to avoid)
+    inv = jnp.argsort(grid.order, stable=True)
+    return force[:, inv]
 
 
 def pair_forces(pos: jnp.ndarray, vel: jnp.ndarray, table: jnp.ndarray,

@@ -185,12 +185,14 @@ def self_collision_forces(pos: jnp.ndarray, vel: jnp.ndarray, p: ClothParams,
     h, w = pos.shape[-2:]
     flat_pos = pos.reshape(3, h * w)
     flat_vel = vel.reshape(3, h * w)
-    # grid origin follows the cloth bounding box (static dims/cell size)
+    # grid origin follows the cloth bounding box (static dims/cell size);
+    # scatter-free sorted-window query (TPU scatters serialize)
     origin = jnp.min(flat_pos, axis=1) - grid_spec.cell_size
-    table = broadphase.build_table(flat_pos, grid_spec, origin)
+    grid = broadphase.build_sorted_grid(flat_pos, flat_vel, grid_spec, origin)
     k = p.k_contact if k_self is None else k_self
-    f = broadphase.pair_forces(flat_pos, flat_vel, table, grid_spec,
-                               p.particle_radius, k, origin)
+    f = broadphase.pair_forces_sorted(grid, grid_spec, p.particle_radius, k,
+                                      window=3 * grid_spec.capacity,
+                                      origin=origin)
     return f.reshape(3, h, w)
 
 

@@ -71,9 +71,12 @@ def substep(state: ParticleState, config: GranularConfig,
     """One step: grid rebuild → pair contact forces → gravity → integrate →
     ground/wall response with restitution."""
     spec = config.grid_spec()
-    table = broadphase.build_table(state.pos, spec)
-    force = broadphase.pair_forces(state.pos, state.vel, table, spec,
-                                   config.radius, config.k_contact)
+    # scatter-free sorted-window broad-phase (TPU scatters serialize; see
+    # broadphase.SortedGrid)
+    grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
+    force = broadphase.pair_forces_sorted(grid, spec, config.radius,
+                                          config.k_contact,
+                                          window=3 * config.grid_capacity)
     force = force.at[1].add(jnp.float32(config.gravity))   # unit mass
 
     vel = state.vel + force * dt
