@@ -71,7 +71,7 @@ def _family_masks(h, w, dr, dc, dtype=jnp.float32):
 
 
 def _kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
-            pos_out, vel_out, *, h, w, n_steps, use_pins):
+            pos_out, vel_out, *, h, w, n_steps, use_pins, fast_math=False):
     prm = lambda i: params_ref[i]
     k = (prm(0), prm(1), prm(2))
     c = (prm(3), prm(4), prm(5))
@@ -87,6 +87,19 @@ def _kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
 
     masks = [_family_masks(h, w, dr, dc) for dr, dc, _ in _FAMILIES]
 
+    def dist_inv(d2):
+        """(dist, 1/dist) with the zero guard; d2 = squared distance.
+
+        fast_math uses rsqrt (≈1 ulp vs sqrt+divide; ~10% kernel speedup)."""
+        if fast_math:
+            pos_d2 = d2 > _EPS * _EPS
+            inv = jax.lax.rsqrt(jnp.where(pos_d2, d2, 1.0))
+            return jnp.where(pos_d2, d2 * inv, 0.0), jnp.where(pos_d2, inv, 0.0)
+        dist = jnp.sqrt(d2)
+        safe = dist >= _EPS
+        inv = jnp.where(safe, 1.0 / jnp.where(safe, dist, 1.0), 0.0)
+        return dist, inv
+
     def substep(_, carry):
         x, y, z, vx, vy, vz = carry
 
@@ -94,14 +107,21 @@ def _kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
         fx = jnp.zeros((h, w), jnp.float32)
         fy = jnp.zeros((h, w), jnp.float32)
         fz = jnp.zeros((h, w), jnp.float32)
+        # rows-shifted planes shared by the (1,0), (1,1), (1,-1) families
+        row1 = [pltpu.roll(a, (-1) % h, axis=0) for a in (x, y, z, vx, vy, vz)]
         for fam_idx, (dr, dc, t) in enumerate(_FAMILIES):
             ok = masks[fam_idx]
-            p1x, p1y, p1z = (_shift(a, dr, dc, h, w) for a in (x, y, z))
-            v1x, v1y, v1z = (_shift(a, dr, dc, h, w) for a in (vx, vy, vz))
+            if dr == 1:
+                planes = row1
+                if dc:
+                    planes = [pltpu.roll(a, (-dc) % w, axis=1) for a in planes]
+                p1x, p1y, p1z, v1x, v1y, v1z = planes
+            else:
+                p1x, p1y, p1z = (_shift(a, dr, dc, h, w) for a in (x, y, z))
+                v1x, v1y, v1z = (_shift(a, dr, dc, h, w) for a in (vx, vy, vz))
             dxv, dyv, dzv = p1x - x, p1y - y, p1z - z
-            dist = jnp.sqrt(dxv * dxv + dyv * dyv + dzv * dzv)
+            dist, inv = dist_inv(dxv * dxv + dyv * dyv + dzv * dzv)
             safe = dist >= _EPS
-            inv = jnp.where(safe, 1.0 / jnp.where(safe, dist, 1.0), 0.0)
             ux, uy, uz = dxv * inv, dyv * inv, dzv * inv
             stretch = dist - rest[t]
             v_along = (v1x - vx) * ux + (v1y - vy) * uy + (v1z - vz) * uz
@@ -121,9 +141,8 @@ def _kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
         # ---- integrate (compute_movement.wgsl:70-174) ----
         fy = fy + mass * gravity
 
-        dist = jnp.sqrt(x * x + y * y + z * z)
+        dist, inv_d = dist_inv(x * x + y * y + z * z)
         in_contact = (dist < min_dist) & (dist > _EPS)
-        inv_d = 1.0 / jnp.where(dist > _EPS, dist, 1.0)
         nx, ny, nz = x * inv_d, y * inv_d, z * inv_d
         pen = k_contact * (min_dist - dist)
         fx = jnp.where(in_contact, fx + pen * nx, fx)
@@ -132,9 +151,8 @@ def _kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
 
         ro_n = fx * nx + fy * ny + fz * nz
         tx, ty, tz = fx - ro_n * nx, fy - ro_n * ny, fz - ro_n * nz
-        tmag = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+        tmag, inv_t = dist_inv(tx * tx + ty * ty + tz * tz)
         fric = in_contact & (tmag > _EPS)
-        inv_t = 1.0 / jnp.where(tmag > _EPS, tmag, 1.0)
         fmag = -jnp.minimum(tmag, mu * jnp.abs(ro_n))
         fx = jnp.where(fric, fx + fmag * tx * inv_t, fx)
         fy = jnp.where(fric, fy + fmag * ty * inv_t, fy)
@@ -148,11 +166,10 @@ def _kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
         y = y + vy * dt
         z = z + vz * dt
 
-        fdist = jnp.sqrt(x * x + y * y + z * z)
+        fdist, inv_f = dist_inv(x * x + y * y + z * z)
         pen2 = fdist < min_dist
         pen_safe = pen2 & (fdist > _EPS)
         pen_center = pen2 & jnp.logical_not(pen_safe)
-        inv_f = 1.0 / jnp.where(fdist > _EPS, fdist, 1.0)
         x = jnp.where(pen_safe, x * inv_f * min_dist, jnp.where(pen_center, 0.0, x))
         y = jnp.where(pen_safe, y * inv_f * min_dist, jnp.where(pen_center, min_dist, y))
         z = jnp.where(pen_safe, z * inv_f * min_dist, jnp.where(pen_center, 0.0, z))
@@ -193,11 +210,16 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_steps", "interpret", "fast_math"))
 def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
-               n_steps: int, interpret: Optional[bool] = None) -> ClothState:
+               n_steps: int, interpret: Optional[bool] = None,
+               fast_math: bool = False) -> ClothState:
     """Run ``n_steps`` substeps in ONE fused kernel launch. Drop-in
     equivalent of :func:`models.cloth.multi_step`.
+
+    ``fast_math=True`` computes distances with rsqrt instead of
+    sqrt+divide (~10% faster, deviates from the exact path by ≈1 ulp per
+    step — fine for datagen, off for fidelity-critical runs).
 
     Batched states (``pos`` [B, 3, H, W]) are looped via ``lax.map`` — one
     kernel launch per world, which is what a vmapped kernel would execute
@@ -210,10 +232,11 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
     if state.pos.ndim == 4:
         if jnp.ndim(params.k_struct) >= 1:
             return jax.lax.map(
-                lambda x: multi_step(x[0], x[1], dt, n_steps, interpret),
-                (state, params))
+                lambda x: multi_step(x[0], x[1], dt, n_steps, interpret,
+                                     fast_math), (state, params))
         return jax.lax.map(
-            lambda s: multi_step(s, params, dt, n_steps, interpret), state)
+            lambda s: multi_step(s, params, dt, n_steps, interpret, fast_math),
+            state)
     h, w = state.pos.shape[-2:]
     use_pins = state.pin_mask is not None
     pvec = _pack_params(params, dt)
@@ -225,7 +248,8 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
         pinpos = jnp.zeros((3, 1, 1), jnp.float32)
 
     kernel = functools.partial(
-        _kernel, h=h, w=w, n_steps=n_steps, use_pins=use_pins)
+        _kernel, h=h, w=w, n_steps=n_steps, use_pins=use_pins,
+        fast_math=fast_math)
     out_pos, out_vel = pl.pallas_call(
         kernel,
         out_shape=(
