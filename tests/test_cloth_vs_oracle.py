@@ -183,3 +183,16 @@ def test_vmap_batching_consistent(scene16):
     out_1 = jax.jit(cloth.substep)(state, params, jnp.float32(1 / 480))
     for i in range(3):
         np.testing.assert_array_equal(np.asarray(out_b.pos[i]), np.asarray(out_1.pos))
+
+
+def test_determinism_rerun_bitwise(scene16):
+    """Same program + same inputs → bitwise-identical results across runs
+    (the TPU build's answer to the reference's by-construction race freedom,
+    SURVEY §5: functional arrays + fixed stencil order)."""
+    c, scene, pos0, vel0 = scene16
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    a = cloth.multi_step(state, params, jnp.float32(1 / 480), 200)
+    b = cloth.multi_step(state, params, jnp.float32(1 / 480), 200)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))

@@ -131,3 +131,12 @@ def test_texture_bilinear_wrap():
     v = jnp.array([0.25, 0.25])
     s = T.sample_bilinear(tex, u, v)
     np.testing.assert_allclose(np.asarray(s[0]), np.asarray(s[1]), atol=1e-4)
+
+
+def test_named_texture_resolution():
+    t = T.get("red.png")
+    np.testing.assert_allclose(np.asarray(t[0, 0]), [1, 0, 0])
+    assert T.get("mesh.jpg").shape[-1] == 3
+    assert T.get("earth2048.bmp").shape[-1] == 3
+    with pytest.raises(FileNotFoundError):
+        T.get("nonexistent_texture.png")

@@ -198,6 +198,13 @@ class FreeParticleScene(_SceneBase):
             self.state, self.params, jnp.float32(self.time_scale * dt), 1,
             bug_compat=self.config.bug_compat)
 
+    def simulate(self, seconds: float, hz: float = 60.0) -> None:
+        """Run physics headless at a fixed rate in one fused launch."""
+        n = max(1, int(round(seconds * hz)))
+        self.state = particles.multi_step(
+            self.state, self.params, jnp.float32(self.time_scale / hz), n,
+            bug_compat=self.config.bug_compat)
+
     def render(self, height: int = 600, width: int = 800) -> np.ndarray:
         fb = R.clear(height, width)
         cam = self.camera()

@@ -265,18 +265,14 @@ def draw_mesh(fb: Framebuffer, camera: Camera, mesh: DeviceMesh,
     tris_p = jnp.pad(tris, ((0, pad), (0, 0)))
     tvalid = jnp.arange(t + pad) < t
 
-    depth = fb.depth.reshape(-1)
-    win_tri = jnp.full((p,), -1, jnp.int32)
-    win_b0 = jnp.zeros((p,), jnp.float32)
-    win_b1 = jnp.zeros((p,), jnp.float32)
-
     def edge(ax, ay, bx, by, cx, cy):
         return (cx - ax) * (by - ay) - (cy - ay) * (bx - ax)
 
     n_chunks = tris_p.shape[0] // chunk
-    for ci in range(n_chunks):
-        tr = tris_p[ci * chunk:(ci + 1) * chunk]
-        tv = tvalid[ci * chunk:(ci + 1) * chunk]
+
+    def one_chunk(carry, inp):
+        depth, win_tri, win_b0, win_b1 = carry
+        tr, tv, ci = inp
         i0, i1, i2 = tr[:, 0], tr[:, 1], tr[:, 2]
         x0, y0 = sx[i0], sy[i0]
         x1, y1 = sx[i1], sy[i1]
@@ -302,10 +298,17 @@ def draw_mesh(fb: Framebuffer, camera: Camera, mesh: DeviceMesh,
         zbest = jnp.take_along_axis(z, kbest[:, None], 1)[:, 0]
         better = zbest < depth
         depth = jnp.where(better, zbest, depth)
-        gtri = ci * chunk + kbest
-        win_tri = jnp.where(better, gtri, win_tri)
+        win_tri = jnp.where(better, ci * chunk + kbest, win_tri)
         win_b0 = jnp.where(better, jnp.take_along_axis(b0, kbest[:, None], 1)[:, 0], win_b0)
         win_b1 = jnp.where(better, jnp.take_along_axis(b1, kbest[:, None], 1)[:, 0], win_b1)
+        return (depth, win_tri, win_b0, win_b1), None
+
+    carry0 = (fb.depth.reshape(-1), jnp.full((p,), -1, jnp.int32),
+              jnp.zeros((p,), jnp.float32), jnp.zeros((p,), jnp.float32))
+    (depth, win_tri, win_b0, win_b1), _ = jax.lax.scan(
+        one_chunk, carry0,
+        (tris_p.reshape(n_chunks, chunk, 3), tvalid.reshape(n_chunks, chunk),
+         jnp.arange(n_chunks, dtype=jnp.int32)))
 
     hit = win_tri >= 0
     tr = jnp.take(tris_p, jnp.where(hit, win_tri, 0), axis=0)   # [P,3]

@@ -22,6 +22,28 @@ def load_texture(path: str) -> jnp.ndarray:
     return jnp.asarray(arr)
 
 
+def get(name_or_path: str, size: int = 256) -> jnp.ndarray:
+    """Resolve a texture by file path or by the reference's asset names
+    (``textures/`` — SURVEY C18: grey/red/texture/mesh/diffuse/moon1024/
+    earth2048). Files load via PIL when present; otherwise a procedural
+    equivalent is generated, so scenes work without binary assets."""
+    import os
+
+    if os.path.exists(name_or_path):
+        return load_texture(name_or_path)
+    key = os.path.splitext(os.path.basename(name_or_path))[0].lower()
+    if key in ("red",):
+        return solid((1.0, 0.0, 0.0))
+    if key in ("grey", "gray"):
+        return solid((0.5, 0.5, 0.5))
+    if key in ("mesh", "texture", "diffuse"):
+        return checkerboard(size=size)
+    if key in ("earth2048", "moon1024", "earth", "moon", "planet"):
+        return earth_gradient(size)
+    raise FileNotFoundError(
+        f"texture '{name_or_path}' not found and no procedural equivalent")
+
+
 def solid(color, size: int = 4) -> jnp.ndarray:
     """Solid-color texture (the cloth particles' ``red.png`` equivalent)."""
     c = jnp.asarray(color, jnp.float32)
