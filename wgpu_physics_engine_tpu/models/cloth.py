@@ -30,6 +30,15 @@ from ..core.state import ClothParams, ClothState
 
 _EPS = 1e-6
 
+
+def _safe_norm(sq: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(sq) with a gradient-safe zero: primal is bit-identical to
+    jnp.sqrt (sqrt(0) = 0), but the sqrt never sees 0 on the backward pass
+    (d sqrt/dx at 0 is inf, and inf * where-mask-0 = NaN — the standard JAX
+    gotcha; needed for jax.grad through the simulator)."""
+    positive = sq > 0
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, sq, 1.0)), 0.0)
+
 # (dr, dc) offsets for the six spring families, grouped by type.
 STRUCT_OFFSETS = ((0, 1), (1, 0))
 SHEAR_OFFSETS = ((1, 1), (1, -1))
@@ -56,7 +65,7 @@ def _edge_force(p0, p1, v0, v1, k, c, rest):
     projection damping; zero where ``dist < 1e-6``.
     """
     delta = p1 - p0
-    dist = jnp.sqrt(jnp.sum(delta * delta, axis=0))
+    dist = _safe_norm(jnp.sum(delta * delta, axis=0))
     safe = dist >= _EPS
     inv = jnp.where(safe, 1.0 / jnp.where(safe, dist, 1.0), 0.0)
     dirv = delta * inv[None]
@@ -122,7 +131,7 @@ def integrate(
     total = total + g[:, None, None]
 
     # Sphere contact (compute_movement.wgsl:107-117)
-    dist = jnp.sqrt(jnp.sum(pos * pos, axis=0))
+    dist = _safe_norm(jnp.sum(pos * pos, axis=0))
     min_dist = p.globe_radius + p.particle_radius
     in_contact = (dist < min_dist) & (dist > _EPS)
     n = pos / jnp.where(dist > _EPS, dist, 1.0)[None]
@@ -132,7 +141,7 @@ def integrate(
     # Friction on the total resultant incl. contact (compute_movement.wgsl:119-131)
     ro_n_mag = jnp.sum(total * n, axis=0)
     ro_t = total - ro_n_mag[None] * n
-    ro_t_mag = jnp.sqrt(jnp.sum(ro_t * ro_t, axis=0))
+    ro_t_mag = _safe_norm(jnp.sum(ro_t * ro_t, axis=0))
     fric_active = in_contact & (ro_t_mag > _EPS)
     tangent = ro_t / jnp.where(ro_t_mag > _EPS, ro_t_mag, 1.0)[None]
     f_fric = (-jnp.minimum(ro_t_mag, p.mu * jnp.abs(ro_n_mag)))[None] * tangent
@@ -144,7 +153,7 @@ def integrate(
     pos = pos + vel * dt
 
     # Hard projection (compute_movement.wgsl:143-158)
-    final_dist = jnp.sqrt(jnp.sum(pos * pos, axis=0))
+    final_dist = _safe_norm(jnp.sum(pos * pos, axis=0))
     pen = final_dist < min_dist
     pen_safe = pen & (final_dist > _EPS)
     pen_center = pen & jnp.logical_not(pen_safe)
