@@ -80,13 +80,13 @@ def batched_multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
 HALO = 2  # bend springs reach 2 rows (cloth.rs:956-957)
 
 
-def _exchange_halo(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Extend local ``[3, h, W]`` rows with 2-row halos from both
+def _exchange_halo(x: jnp.ndarray, axis_name: str, halo: int = HALO) -> jnp.ndarray:
+    """Extend local ``[3, h, W]`` rows with ``halo``-row halos from both
     neighbors along ``axis_name`` (non-wrapping: boundary shards receive
     zeros, masked out via row_valid)."""
     n = jax.lax.psum(1, axis_name)
-    top = x[:, :HALO]
-    bot = x[:, -HALO:]
+    top = x[:, :halo]
+    bot = x[:, -halo:]
     # up_halo on shard i = bottom rows of shard i-1  (perm: i → i+1)
     up_halo = jax.lax.ppermute(bot, axis_name, [(i, i + 1) for i in range(n - 1)])
     # down_halo on shard i = top rows of shard i+1   (perm: i → i-1)
@@ -94,35 +94,51 @@ def _exchange_halo(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     return jnp.concatenate([up_halo, x, down_halo], axis=1)
 
 
-def _spatial_substep_local(pos, vel, pin_mask, pin_pos, params, dt, axis_name):
-    """Per-shard substep body: halo-exchange → masked stencil → pointwise
-    integrate → slice off halos. Runs inside shard_map."""
+def _spatial_substep_local(pos, vel, pin_mask, pin_pos, params, dt, axis_name,
+                           substeps: int = 1):
+    """Per-shard body: ONE halo exchange of width ``2·substeps`` followed by
+    ``substeps`` local substeps (halo widening: stencil reach is 2 rows per
+    substep, so a 2K halo stays correct for K substeps — the stale region
+    creeps inward 2 rows/substep and is sliced off). K× fewer ppermutes on
+    ICI at the cost of K× redundant halo compute. Runs inside shard_map."""
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.psum(1, axis_name)
     h_local = pos.shape[-2]
+    halo = HALO * substeps
 
-    pos_ext = _exchange_halo(pos, axis_name)
-    vel_ext = _exchange_halo(vel, axis_name)
+    pos_ext = _exchange_halo(pos, axis_name, halo)
+    vel_ext = _exchange_halo(vel, axis_name, halo)
     row_valid = jnp.concatenate([
-        jnp.full((HALO,), idx > 0),
+        jnp.full((halo,), idx > 0),
         jnp.ones((h_local,), bool),
-        jnp.full((HALO,), idx < n - 1),
+        jnp.full((halo,), idx < n - 1),
     ])
-    force_ext = cloth.spring_forces(pos_ext, vel_ext, params, row_valid=row_valid)
-    force = force_ext[:, HALO:-HALO]
-    new_pos, new_vel = cloth.integrate(pos, vel, force, params, dt)
     if pin_mask is not None:
-        new_pos = jnp.where(pin_mask[None], pin_pos, new_pos)
-        new_vel = jnp.where(pin_mask[None], 0.0, new_vel)
-    return new_pos, new_vel
+        # pins are per-local-row; halo rows take their owners' pins
+        pinm_ext = _exchange_halo(pin_mask[None].astype(jnp.float32),
+                                  axis_name, halo)[0] != 0.0
+        pinpos_ext = _exchange_halo(pin_pos, axis_name, halo)
+
+    for _ in range(substeps):
+        force_ext = cloth.spring_forces(pos_ext, vel_ext, params,
+                                        row_valid=row_valid)
+        pos_ext, vel_ext = cloth.integrate(pos_ext, vel_ext, force_ext,
+                                           params, dt)
+        if pin_mask is not None:
+            pos_ext = jnp.where(pinm_ext[None], pinpos_ext, pos_ext)
+            vel_ext = jnp.where(pinm_ext[None], 0.0, vel_ext)
+    return pos_ext[:, halo:-halo], vel_ext[:, halo:-halo]
 
 
 def spatial_substep(state: ClothState, params: ClothParams, dt: jnp.ndarray,
-                    mesh: Mesh, axis: str = "rows") -> ClothState:
-    """One substep of a single cloth sharded by rows across ``axis``.
+                    mesh: Mesh, axis: str = "rows",
+                    substeps: int = 1) -> ClothState:
+    """``substeps`` substeps of a single cloth sharded by rows across
+    ``axis``, with ONE halo exchange (width 2·substeps).
 
-    Mathematically identical to :func:`cloth.substep` — halo rows carry the
-    true neighbor data, and edges crossing the global boundary are masked.
+    Mathematically identical to ``substeps`` × :func:`cloth.substep` — halo
+    rows carry true neighbor data, edges crossing the global boundary are
+    masked, and the halo-widening redundancy is sliced off.
     """
     has_pins = state.pin_mask is not None
     spec3 = P(None, axis, None)   # [3, H, W] sharded on H
@@ -130,7 +146,8 @@ def spatial_substep(state: ClothState, params: ClothParams, dt: jnp.ndarray,
 
     if has_pins:
         def body(pos, vel, pin_mask, pin_pos):
-            return _spatial_substep_local(pos, vel, pin_mask, pin_pos, params, dt, axis)
+            return _spatial_substep_local(pos, vel, pin_mask, pin_pos,
+                                          params, dt, axis, substeps)
 
         f = shard_map(body, mesh=mesh,
                       in_specs=(spec3, spec3, spec2, spec3),
@@ -138,7 +155,8 @@ def spatial_substep(state: ClothState, params: ClothParams, dt: jnp.ndarray,
         new_pos, new_vel = f(state.pos, state.vel, state.pin_mask, state.pin_pos)
     else:
         def body(pos, vel):
-            return _spatial_substep_local(pos, vel, None, None, params, dt, axis)
+            return _spatial_substep_local(pos, vel, None, None, params, dt,
+                                          axis, substeps)
 
         f = shard_map(body, mesh=mesh, in_specs=(spec3, spec3),
                       out_specs=(spec3, spec3))
@@ -177,16 +195,25 @@ def batched_spatial_multi_step(state: ClothState, params: ClothParams,
 
 
 def spatial_multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
-                       n_steps: int, mesh: Mesh, axis: str = "rows") -> ClothState:
-    """``n_steps`` spatially-sharded substeps under one jit; the halo
-    ppermutes ride ICI between substeps, state never leaves the devices."""
+                       n_steps: int, mesh: Mesh, axis: str = "rows",
+                       substeps_per_exchange: int = 1) -> ClothState:
+    """``n_steps`` spatially-sharded substeps under one jit; halo ppermutes
+    ride ICI once every ``substeps_per_exchange`` substeps (halo widening),
+    state never leaves the devices. ``n_steps`` must be divisible by
+    ``substeps_per_exchange``."""
+    k = substeps_per_exchange
+    assert n_steps % k == 0, "n_steps must be divisible by substeps_per_exchange"
+    h_local = state.pos.shape[-2] // mesh.shape[axis]
+    assert HALO * k <= h_local, (
+        f"halo width {HALO * k} exceeds shard height {h_local}; lower "
+        "substeps_per_exchange or use fewer shards")
 
     @functools.partial(jax.jit, static_argnames=())
     def run(s):
         def body(carry, _):
-            return spatial_substep(carry, params, dt, mesh, axis), None
+            return spatial_substep(carry, params, dt, mesh, axis, k), None
 
-        out, _ = jax.lax.scan(body, s, None, length=n_steps)
+        out, _ = jax.lax.scan(body, s, None, length=n_steps // k)
         return out
 
     return run(state)
