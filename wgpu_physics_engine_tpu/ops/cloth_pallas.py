@@ -210,6 +210,13 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# The fused kernel keeps 6 state planes + stencil temporaries VMEM-resident;
+# beyond ~100k particles (256x256 = 65,536 is the flagship) Mosaic can't fit
+# the working set and compilation fails — fall back to the XLA stencil path
+# (or shard spatially across chips, parallel/mesh.py).
+_VMEM_PARTICLE_LIMIT = 100_000
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps", "interpret", "fast_math"))
 def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
                n_steps: int, interpret: Optional[bool] = None,
@@ -238,6 +245,10 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
             lambda s: multi_step(s, params, dt, n_steps, interpret, fast_math),
             state)
     h, w = state.pos.shape[-2:]
+    if h * w > _VMEM_PARTICLE_LIMIT:
+        from ..models import cloth
+
+        return cloth.multi_step(state, params, dt, n_steps)
     use_pins = state.pin_mask is not None
     pvec = _pack_params(params, dt)
     if use_pins:

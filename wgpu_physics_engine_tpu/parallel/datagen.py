@@ -95,12 +95,15 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
             lambda s, p: cloth.multi_step(s, p, dt, n_steps)
         )(batch.state, batch.params)
 
-    def rend(state, params):
+    def rend(args):
+        state, params = args
         return _render_world(state.pos, camera, params.globe_radius,
                              params.particle_radius, globe_tex, light,
                              fb_size, chunk)
 
-    images = jax.vmap(rend)(new_state, batch.params)
+    # a plain vmap would materialize [worlds, pixels, chunk] intermediates
+    # (64 GB at 512 worlds x 256^2); map in bounded world batches instead
+    images = jax.lax.map(rend, (new_state, batch.params), batch_size=8)
     return WorldBatch(state=new_state, params=batch.params), images
 
 
