@@ -140,3 +140,18 @@ def test_named_texture_resolution():
     assert T.get("earth2048.bmp").shape[-1] == 3
     with pytest.raises(FileNotFoundError):
         T.get("nonexistent_texture.png")
+
+
+def test_sphere_raster_kernel_matches_xla_path():
+    """Pallas sphere-raster kernel (interpret on CPU) ≡ the XLA chunk-scan."""
+    c = cam()
+    key = jax.random.key(5)
+    centers = jax.random.normal(key, (50, 3)) * 4.0
+    fbA = R.draw_instanced_spheres(R.clear(48, 48), c, centers, 0.8, LIGHT,
+                                   use_kernel=False)
+    fbB = R.draw_instanced_spheres(R.clear(48, 48), c, centers, 0.8, LIGHT,
+                                   use_kernel=True)
+    np.testing.assert_allclose(np.asarray(fbA.depth), np.asarray(fbB.depth),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fbA.color), np.asarray(fbB.color),
+                               atol=1e-5)

@@ -58,7 +58,7 @@ def main(argv=None) -> int:
         n = 0
         for f, imgs, _ in gen:
             path = os.path.join(args.outdir, f"frame_{f:05d}.npy")
-            if writer is not None:
+            if writer is not None and imgs.dtype == np.float32:
                 writer.submit(path, imgs)
             else:
                 np.save(path, imgs)

@@ -73,16 +73,19 @@ def _render_world(pos: jnp.ndarray, camera: R.Camera, globe_radius,
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "fb_size", "chunk",
-                                             "use_pallas"))
+                                             "use_pallas", "as_uint8"))
 def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
                     camera: R.Camera, globe_tex: jnp.ndarray,
                     light: cfg.LightConfig = cfg.LightConfig(),
                     fb_size: Tuple[int, int] = (256, 256),
                     chunk: int = 512,
-                    use_pallas: bool = True) -> Tuple[WorldBatch, jnp.ndarray]:
+                    use_pallas: bool = True,
+                    as_uint8: bool = True) -> Tuple[WorldBatch, jnp.ndarray]:
     """Advance every world ``n_steps`` substeps, then render each to a
-    framebuffer. Returns (new batch, images [B, h, w, 3]). Fully on-device;
-    shard the batch over a ``worlds`` mesh axis to scale across chips."""
+    framebuffer. Returns (new batch, images [B, h, w, 3] — uint8 by default:
+    device→host egress is the datagen bottleneck, 4× smaller than fp32).
+    Fully on-device; shard the batch over a ``worlds`` mesh axis to scale
+    across chips."""
     if use_pallas:
         from ..ops import cloth_pallas
 
@@ -104,6 +107,8 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
     # a plain vmap would materialize [worlds, pixels, chunk] intermediates
     # (64 GB at 512 worlds x 256^2); map in bounded world batches instead
     images = jax.lax.map(rend, (new_state, batch.params), batch_size=8)
+    if as_uint8:
+        images = (jnp.clip(images, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
     return WorldBatch(state=new_state, params=batch.params), images
 
 

@@ -115,6 +115,7 @@ def draw_instanced_spheres(
     texture: Optional[jnp.ndarray] = None,
     lit: bool = False,
     chunk: int = 512,
+    use_kernel: Optional[bool] = None,
 ) -> Framebuffer:
     """Instanced sphere pass — the analytic replacement for the cloth/
     particle instanced draw (cloth.rs:1366-1379; 3,600 instances × 48,384
@@ -131,42 +132,59 @@ def draw_instanced_spheres(
     h, w = fb.depth.shape
     eye, dirs = pixel_rays(camera, h, w)
     p = h * w
-    d = dirs.reshape(3, p).T                           # [P, 3]
     n = centers.shape[0]
-    r2 = jnp.float32(radius) ** 2
 
-    pad = (-n) % chunk
-    cpad = jnp.pad(centers, ((0, pad), (0, 0)))
-    valid0 = jnp.arange(n + pad) < n
-    cpad = cpad.reshape(-1, chunk, 3)
-    validc = valid0.reshape(-1, chunk)
+    if use_kernel is None:
+        from ..ops import raster_pallas
 
-    def body(carry, inp):
-        tmin, inst = carry
-        cen, val, ci = inp                              # [K,3], [K], scalar
-        oc = cen - eye[None, :]                         # [K,3]
-        b = d @ oc.T                                    # [P,K]  (MXU)
-        cc = jnp.sum(oc * oc, axis=1)                   # [K]
-        disc = b * b - (cc[None, :] - r2)
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t = b - sq
-        ok = (disc > 0.0) & (t > camera.znear) & val[None, :]
-        t = jnp.where(ok, t, jnp.inf)
-        k = jnp.argmin(t, axis=1)                       # [P] chunk-local winner
-        tc = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
-        better = tc < tmin
-        inst = jnp.where(better, ci * chunk + k, inst)
-        return (jnp.where(better, tc, tmin), inst), None
+        use_kernel = (jax.default_backend() == "tpu"
+                      and n <= raster_pallas.MAX_INSTANCES)
 
-    n_chunks = cpad.shape[0]
-    carry0 = (jnp.full((p,), jnp.inf, jnp.float32), jnp.zeros((p,), jnp.int32))
-    (tmin, inst), _ = jax.lax.scan(
-        body, carry0, (cpad, validc, jnp.arange(n_chunks, dtype=jnp.int32)))
-    hit = jnp.isfinite(tmin)
+    if use_kernel:
+        from ..ops import raster_pallas
+
+        tmin_hw, inst_hw = raster_pallas.sphere_raster(
+            eye, dirs, centers, radius, camera.znear)
+        tmin = tmin_hw.reshape(p)
+        inst = inst_hw.reshape(p)
+        hit = inst >= 0
+    else:
+        d = dirs.reshape(3, p).T                        # [P, 3]
+        r2 = jnp.float32(radius) ** 2
+        pad = (-n) % chunk
+        cpad = jnp.pad(centers, ((0, pad), (0, 0)))
+        valid0 = jnp.arange(n + pad) < n
+        cpadc = cpad.reshape(-1, chunk, 3)
+        validc = valid0.reshape(-1, chunk)
+
+        def body(carry, inp):
+            tmin, inst = carry
+            cen, val, ci = inp                          # [K,3], [K], scalar
+            oc = cen - eye[None, :]                     # [K,3]
+            b = d @ oc.T                                # [P,K]  (MXU)
+            cc = jnp.sum(oc * oc, axis=1)               # [K]
+            disc = b * b - (cc[None, :] - r2)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = b - sq
+            ok = (disc > 0.0) & (t > camera.znear) & val[None, :]
+            t = jnp.where(ok, t, jnp.inf)
+            k = jnp.argmin(t, axis=1)                   # [P] chunk-local winner
+            tc = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
+            better = tc < tmin
+            inst = jnp.where(better, ci * chunk + k, inst)
+            return (jnp.where(better, tc, tmin), inst), None
+
+        n_chunks = cpadc.shape[0]
+        carry0 = (jnp.full((p,), jnp.inf, jnp.float32),
+                  jnp.zeros((p,), jnp.int32))
+        (tmin, inst), _ = jax.lax.scan(
+            body, carry0, (cpadc, validc, jnp.arange(n_chunks, dtype=jnp.int32)))
+        hit = jnp.isfinite(tmin)
 
     tmin_g = jnp.where(hit, tmin, 0.0).reshape(h, w)
     hitg = hit.reshape(h, w)
-    cen_win = jnp.take(cpad.reshape(-1, 3), jnp.where(hit, inst, 0), axis=0)
+    cen_win = jnp.take(centers, jnp.clip(jnp.where(hit, inst, 0), 0, n - 1),
+                       axis=0)
     cen_g = cen_win.T.reshape(3, h, w)
 
     p_world = eye[:, None, None] + tmin_g[None] * dirs
