@@ -100,15 +100,18 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
 
     def rend(args):
         state, params = args
-        return _render_world(state.pos, camera, params.globe_radius,
-                             params.particle_radius, globe_tex, light,
-                             fb_size, chunk)
+        img = _render_world(state.pos, camera, params.globe_radius,
+                            params.particle_radius, globe_tex, light,
+                            fb_size, chunk)
+        if as_uint8:
+            # cast per world so the map accumulates uint8, not fp32
+            # (4096 worlds × 256² fp32 would be 3.2 GB of HBM)
+            img = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        return img
 
     # a plain vmap would materialize [worlds, pixels, chunk] intermediates
     # (64 GB at 512 worlds x 256^2); map in bounded world batches instead
     images = jax.lax.map(rend, (new_state, batch.params), batch_size=8)
-    if as_uint8:
-        images = (jnp.clip(images, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
     return WorldBatch(state=new_state, params=batch.params), images
 
 
