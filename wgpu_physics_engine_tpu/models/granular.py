@@ -33,9 +33,12 @@ class GranularConfig:
     gravity: float = -9.81
     restitution: float = 0.5         # ground/wall bounce energy retention
     grid_capacity: int = 8
+    window: int = 24                 # candidates per z-triple window
 
     def grid_spec(self) -> broadphase.GridSpec:
-        cell = max(2.0 * self.radius, 2.0 * self.bounds / 160)  # cap grid dims
+        # cap grid dims at 128^3: cell_start construction is a searchsorted
+        # over num_cells queries (~140 ms/Mcell on v5e), the main fixed cost
+        cell = max(2.0 * self.radius, 2.0 * self.bounds / 128)
         dims = int(2.0 * self.bounds / cell) + 1
         return broadphase.GridSpec(
             origin=(-self.bounds, -self.bounds, -self.bounds),
@@ -76,7 +79,7 @@ def substep(state: ParticleState, config: GranularConfig,
     grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
     force = broadphase.pair_forces_sorted(grid, spec, config.radius,
                                           config.k_contact,
-                                          window=3 * config.grid_capacity)
+                                          window=config.window)
     force = force.at[1].add(jnp.float32(config.gravity))   # unit mass
 
     vel = state.vel + force * dt
