@@ -33,9 +33,15 @@ def _best_multi_step():
 
     impls = {"xla": cloth.multi_step}
     try:
+        import functools
+
         from wgpu_physics_engine_tpu.ops import cloth_pallas
 
         impls["pallas"] = cloth_pallas.multi_step
+        # rsqrt variant: deviates from the exact kernel by ~1 ulp/step
+        # (9e-14 max over 300 steps) — far inside the 1e-4 fidelity bar
+        impls["pallas_fast"] = functools.partial(
+            cloth_pallas.multi_step, fast_math=True)
     except Exception:
         pass
     return impls

@@ -104,3 +104,16 @@ def test_checkpoint_roundtrip_scene_state(tmp_path):
     restored, meta = checkpoint.load(path, s.state)
     np.testing.assert_array_equal(np.asarray(restored.pos), np.asarray(s.state.pos))
     assert meta["sim_t"] == 0.25
+
+
+def test_cloth_scene_renders_both_materials():
+    """Perceptual check: a draped cloth frame contains both the red cloth
+    particles and visible globe pixels (depth compositing works)."""
+    s = scenes.ClothScene(config=cfg.ClothConfig(height=16, width=16),
+                          use_pallas=False)
+    s.simulate(5.0)
+    img = s.render(96, 96)
+    red = (img[..., 0] > 0.8) & (img[..., 1] < 0.3)
+    assert red.sum() > 20                       # cloth visible
+    grey = (img.std(axis=-1) < 0.05) & (img.sum(axis=-1) > 0.5)
+    assert grey.sum() > 20                      # lit checkered globe visible
