@@ -18,8 +18,7 @@ it are ignored, like a fixed-size cell list).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
