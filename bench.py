@@ -15,6 +15,7 @@ synchronize, so timing forces a device→host readback of one array.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -75,11 +76,11 @@ def main() -> None:
             el = _time_impl(fn, state, params, SUBSTEPS)
             results[name] = H * W * SUBSTEPS / el
         except Exception as e:  # an impl failing must not kill the bench
-            print(f"# {name} failed: {type(e).__name__}: {e}")
+            print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     value = max(results.values())
     for name, v in sorted(results.items(), key=lambda kv: -kv[1]):
-        print(f"# {name}: {v:.3e} particle-steps/s")
+        print(f"# {name}: {v:.3e} particle-steps/s", file=sys.stderr)
     print(json.dumps({
         "metric": "particle-steps/sec/chip (256x256 cloth + sphere collide)",
         "value": value,
