@@ -1,3 +1,3 @@
-from . import cloth_pallas, raster_pallas
+from . import cloth_pallas, cloth_pallas_tiled, raster_pallas
 
-__all__ = ["cloth_pallas", "raster_pallas"]
+__all__ = ["cloth_pallas", "cloth_pallas_tiled", "raster_pallas"]
