@@ -1,3 +1,3 @@
-from . import cloth, oracle, particles, scenes
+from . import broadphase, cloth, granular, oracle, particles, scenes
 
-__all__ = ["cloth", "oracle", "particles", "scenes"]
+__all__ = ["broadphase", "cloth", "granular", "oracle", "particles", "scenes"]

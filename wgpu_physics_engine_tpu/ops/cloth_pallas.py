@@ -248,17 +248,14 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
     if h * w > _VMEM_PARTICLE_LIMIT:
         # banded kernel with in-chip halo widening (bitwise-equal at sizes
         # where both run; 512x512 measures ~2e9 p-steps/s vs ~8e7 for XLA)
-        if state.pin_mask is None:
+        if state.pin_mask is None and h % 8 == 0:
             from . import cloth_pallas_tiled
 
-            for k_sub in (8, 4):
-                if n_steps % k_sub == 0 and h % 8 == 0:
-                    try:
-                        return cloth_pallas_tiled.multi_step(
-                            state, params, dt, n_steps, k_sub=k_sub,
-                            interpret=interpret)
-                    except ValueError:
-                        break
+            sched = cloth_pallas_tiled.pick_schedule(h, w, n_steps)
+            if sched is not None:
+                return cloth_pallas_tiled.multi_step(
+                    state, params, dt, n_steps, k_sub=sched[0],
+                    interpret=interpret)
         from ..models import cloth
 
         return cloth.multi_step(state, params, dt, n_steps)

@@ -192,6 +192,22 @@ def _pick_band(h: int, w: int, k_sub: int):
     raise ValueError(f"no band size fits h={h}, w={w}, k_sub={k_sub}")
 
 
+def pick_schedule(h: int, w: int, n_steps: int):
+    """Choose (k_sub, band_h). Measured on v5e, per-launch costs (kernel
+    dispatch + serialized per-band DMA round-trips) dominate over redundant
+    halo compute, so more substeps per launch wins even at 2× band overhead:
+    512² → k=8 1.7-2.0e9 vs k=4 0.4e9; 1024² → k=8 0.84e9 beats k=4/k=16.
+    Rule: k=8 if it fits, else 16, else 4. Returns None if nothing fits."""
+    for k_sub in (8, 16, 4):
+        if n_steps % k_sub or (2 * k_sub) % 8:
+            continue
+        try:
+            return k_sub, _pick_band(h, w, k_sub)
+        except ValueError:
+            continue
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps", "k_sub", "interpret"))
 def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
                n_steps: int, k_sub: int = 8,
@@ -222,12 +238,12 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((3, band_ext, w), jnp.float32),
