@@ -63,3 +63,20 @@ def test_dispatcher_uses_tiled_beyond_limit():
                                    atol=1e-5)
     finally:
         CP._VMEM_PARTICLE_LIMIT = old
+
+
+def test_tiled_pins():
+    c = cfg.ClothConfig(height=64, width=16)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    pin = np.zeros((64, 16), bool)
+    pin[0, :] = pin[33, 7] = True       # pins in different bands
+    state = state._replace(pin_mask=jnp.asarray(pin), pin_pos=state.pos)
+    dt = jnp.float32(1 / 480)
+    ref = cloth.multi_step(state, params, dt, 16)
+    got = cloth_pallas_tiled.multi_step(state, params, dt, 16, k_sub=4,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(got.pos)[:, 0, :], np.asarray(state.pos)[:, 0, :])

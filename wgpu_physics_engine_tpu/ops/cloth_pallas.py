@@ -248,10 +248,11 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
     if h * w > _VMEM_PARTICLE_LIMIT:
         # banded kernel with in-chip halo widening (bitwise-equal at sizes
         # where both run; 512x512 measures ~2e9 p-steps/s vs ~8e7 for XLA)
-        if state.pin_mask is None and h % 8 == 0:
+        if h % 8 == 0:
             from . import cloth_pallas_tiled
 
-            sched = cloth_pallas_tiled.pick_schedule(h, w, n_steps)
+            sched = cloth_pallas_tiled.pick_schedule(
+                h, w, n_steps, use_pins=state.pin_mask is not None)
             if sched is not None:
                 return cloth_pallas_tiled.multi_step(
                     state, params, dt, n_steps, k_sub=sched[0],

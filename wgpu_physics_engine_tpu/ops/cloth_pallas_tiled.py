@@ -17,8 +17,8 @@ XLA path): at 512×512 with K=8 that is ~0.9 MB/substep against ~25+ MB of
 XLA-path intermediates.
 
 Semantics identical to models/cloth.py (forces.wgsl + compute_movement.wgsl
-order). Pins are not supported here (use the XLA path or the single-block
-kernel); callers gate on that.
+order), including fixed pins (window-sliced pin arrays, like the
+distributed path's halo pins).
 """
 
 from __future__ import annotations
@@ -37,9 +37,10 @@ from .cloth_pallas import _FAMILIES, _pack_params, _shift
 _EPS = 1e-6
 
 
-def _kernel(params_ref, pos_hbm, vel_hbm, pos_out, vel_out,
-            sp, sv, so_p, so_v, sems, *,
-            h, w, band_h, halo, k_sub):
+def _kernel(params_ref, pos_hbm, vel_hbm, pinm_hbm, pinpos_hbm,
+            pos_out, vel_out,
+            sp, sv, so_p, so_v, spinm, spinpos, sems, *,
+            h, w, band_h, halo, k_sub, use_pins):
     band = pl.program_id(0)
     band_ext = band_h + 2 * halo
     window_start = jnp.clip(band * band_h - halo, 0, h - band_ext)
@@ -55,6 +56,16 @@ def _kernel(params_ref, pos_hbm, vel_hbm, pos_out, vel_out,
         vel_hbm.at[:, pl.ds(window_start, band_ext), :], sv, sems.at[1])
     cp_in_p.start()
     cp_in_v.start()
+    if use_pins:
+        cp_in_m = pltpu.make_async_copy(
+            pinm_hbm.at[pl.ds(window_start, band_ext), :], spinm, sems.at[4])
+        cp_in_pp = pltpu.make_async_copy(
+            pinpos_hbm.at[:, pl.ds(window_start, band_ext), :], spinpos,
+            sems.at[5])
+        cp_in_m.start()
+        cp_in_pp.start()
+        cp_in_m.wait()
+        cp_in_pp.wait()
     cp_in_p.wait()
     cp_in_v.wait()
 
@@ -67,6 +78,9 @@ def _kernel(params_ref, pos_hbm, vel_hbm, pos_out, vel_out,
 
     x, y, z = sp[0], sp[1], sp[2]
     vx, vy, vz = sv[0], sv[1], sv[2]
+    if use_pins:
+        pin = spinm[...] != 0.0
+        px_pin, py_pin, pz_pin = spinpos[0], spinpos[1], spinpos[2]
 
     # masks from GLOBAL row ids (exact boundary semantics); column masks as
     # in the single-block kernel
@@ -161,6 +175,13 @@ def _kernel(params_ref, pos_hbm, vel_hbm, pos_out, vel_out,
         vx = jnp.where(pen2, 0.0, vx)
         vy = jnp.where(pen2, 0.0, vy)
         vz = jnp.where(pen2, 0.0, vz)
+        if use_pins:
+            x = jnp.where(pin, px_pin, x)
+            y = jnp.where(pin, py_pin, y)
+            z = jnp.where(pin, pz_pin, z)
+            vx = jnp.where(pin, 0.0, vx)
+            vy = jnp.where(pin, 0.0, vy)
+            vz = jnp.where(pin, 0.0, vz)
         return x, y, z, vx, vy, vz
 
     x, y, z, vx, vy, vz = jax.lax.fori_loop(
@@ -180,10 +201,15 @@ def _kernel(params_ref, pos_hbm, vel_hbm, pos_out, vel_out,
     cp_out_v.wait()
 
 
-def _pick_band(h: int, w: int, k_sub: int):
+def _pick_band(h: int, w: int, k_sub: int, use_pins: bool = False):
     """Largest band height dividing h whose extended window fits the VMEM
-    budget (~4 MB for the two 6-plane scratch buffers combined)."""
-    budget_rows = max(8, (4 * 1024 * 1024) // (12 * w * 4))
+    budget (within the 16 MB scoped-vmem limit once substep temporaries are
+    added): 12 scratch planes without pins (4 MB budget, measured OK), 16
+    with pins (3 MB — pins add a mask plane + 3 pin-pos planes)."""
+    if use_pins:
+        budget_rows = max(8, (3 * 1024 * 1024) // (16 * w * 4))
+    else:
+        budget_rows = max(8, (4 * 1024 * 1024) // (12 * w * 4))
     halo = 2 * k_sub
     for band_h in (256, 128, 64, 32, 16, 8):
         if h % band_h == 0 and band_h + 2 * halo <= budget_rows \
@@ -192,7 +218,7 @@ def _pick_band(h: int, w: int, k_sub: int):
     raise ValueError(f"no band size fits h={h}, w={w}, k_sub={k_sub}")
 
 
-def pick_schedule(h: int, w: int, n_steps: int):
+def pick_schedule(h: int, w: int, n_steps: int, use_pins: bool = False):
     """Choose (k_sub, band_h). Measured on v5e, per-launch costs (kernel
     dispatch + serialized per-band DMA round-trips) dominate over redundant
     halo compute, so more substeps per launch wins even at 2× band overhead:
@@ -202,7 +228,7 @@ def pick_schedule(h: int, w: int, n_steps: int):
         if n_steps % k_sub or (2 * k_sub) % 8:
             continue
         try:
-            return k_sub, _pick_band(h, w, k_sub)
+            return k_sub, _pick_band(h, w, k_sub, use_pins)
         except ValueError:
             continue
     return None
@@ -213,21 +239,27 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
                n_steps: int, k_sub: int = 8,
                interpret: Optional[bool] = None) -> ClothState:
     """``n_steps`` substeps via banded launches of ``k_sub`` substeps each.
-    ``n_steps`` must be divisible by ``k_sub``. Pins unsupported."""
-    assert state.pin_mask is None, "tiled kernel does not support pins"
+    ``n_steps`` must be divisible by ``k_sub``."""
     assert n_steps % k_sub == 0
     assert (2 * k_sub) % 8 == 0, "k_sub must be a multiple of 4 (DMA tiling)"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = state.pos.shape[-2:]
-    band_h = _pick_band(h, w, k_sub)
+    use_pins = state.pin_mask is not None
+    band_h = _pick_band(h, w, k_sub, use_pins)
     halo = 2 * k_sub
     band_ext = band_h + 2 * halo
     n_bands = h // band_h
 
     kernel = functools.partial(_kernel, h=h, w=w, band_h=band_h, halo=halo,
-                               k_sub=k_sub)
+                               k_sub=k_sub, use_pins=use_pins)
     pvec = _pack_params(params, dt)
+    if use_pins:
+        pinm = state.pin_mask.astype(jnp.float32)
+        pinpos = state.pin_pos
+    else:
+        pinm = jnp.zeros((h, w), jnp.float32)
+        pinpos = jnp.zeros((3, h, w), jnp.float32)
 
     launch = pl.pallas_call(
         kernel,
@@ -240,6 +272,8 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -250,14 +284,16 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
             pltpu.VMEM((3, band_ext, w), jnp.float32),
             pltpu.VMEM((3, band_ext, w), jnp.float32),
             pltpu.VMEM((3, band_ext, w), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((band_ext, w), jnp.float32),
+            pltpu.VMEM((3, band_ext, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
     )
 
     def body(carry, _):
         pos, vel = carry
-        new_pos, new_vel = launch(pvec, pos, vel)
+        new_pos, new_vel = launch(pvec, pos, vel, pinm, pinpos)
         return (new_pos, new_vel), None
 
     (pos, vel), _ = jax.lax.scan(body, (state.pos, state.vel), None,
