@@ -69,3 +69,10 @@ def test_cli_datagen(tmp_path):
     assert any(f.endswith(".npy") for f in files)
     arr = np.load(os.path.join(outdir, sorted(files)[0]))
     assert arr.shape == (2, 16, 16, 3)
+
+def test_ansi_frame_renders():
+    img = np.zeros((16, 16, 3), np.float32)
+    img[:8, :, 0] = 1.0                       # top half red
+    s = viewer.ansi_frame(img, max_cols=16)
+    assert "\x1b[38;2;255;0;0m" in s          # red foreground (top pixels)
+    assert s.count("\n") == 7                 # 16 rows → 8 char lines

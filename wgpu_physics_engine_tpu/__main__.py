@@ -23,6 +23,8 @@ def main(argv=None) -> int:
                                      "cloth", "datagen"])
     p.add_argument("--out", default=None, help="PNG path for a single frame")
     p.add_argument("--gif", default=None, help="animated GIF path")
+    p.add_argument("--live", action="store_true",
+                   help="stream frames to the terminal (ANSI truecolor)")
     p.add_argument("--seconds", type=float, default=3.0,
                    help="simulated seconds (cloth/particles)")
     p.add_argument("--fps", type=int, default=20, help="GIF frames/sec")
@@ -85,6 +87,11 @@ def main(argv=None) -> int:
         s = scenes.ClothScene(config=c)
 
     h, w = args.size
+    if args.live:
+        from .utils import viewer as V
+
+        V.live(s, seconds=args.seconds, fps=args.fps, size=(h, w))
+        return 0
     if args.gif:
         frames = []
         n = int(args.seconds * args.fps)
