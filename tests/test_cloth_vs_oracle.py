@@ -223,3 +223,26 @@ def test_differentiable_through_rollout():
     assert np.isfinite(float(g))
     # stiffness measurably affects the free-hanging shape
     assert float(jnp.abs(g)) > 0
+
+
+def test_rope_degenerate_grid():
+    """A 1×N grid is a rope: only the structural-right and bend-2-right
+    families are active; pinned at one end it hangs and stretches — the
+    stencil formulation generalizes to degenerate grids for free."""
+    c = cfg.ClothConfig(height=1, width=32, cloth_size=8.0,
+                        center=(0.0, 30.0, 0.0))
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    pin = np.zeros((1, 32), bool)
+    pin[0, 0] = True
+    state = state._replace(pin_mask=jnp.asarray(pin), pin_pos=state.pos)
+    out = cloth.multi_step(state, params, jnp.float32(1 / 480), 960)
+    pos = np.asarray(out.pos)
+    assert np.isfinite(pos).all()
+    np.testing.assert_array_equal(pos[:, 0, 0], np.asarray(state.pos)[:, 0, 0])
+    assert pos[1, 0, -1] < 29.0          # free end fell
+    # rope stays connected: the top segment carries the whole rope's weight,
+    # so its equilibrium stretch is ~ n·m·g / k_struct ≈ 0.68 beyond rest
+    seg = np.linalg.norm(np.diff(pos[:, 0, :], axis=1), axis=0)
+    max_expected = c.spacing + 32 * 9.81 / c.k_struct * 1.8  # osc. headroom
+    assert seg.max() < max_expected

@@ -117,3 +117,15 @@ def test_cloth_scene_renders_both_materials():
     assert red.sum() > 20                       # cloth visible
     grey = (img.std(axis=-1) < 0.05) & (img.sum(axis=-1) > 0.5)
     assert grey.sum() > 20                      # lit checkered globe visible
+
+
+def test_orbit_input_clamps():
+    """Mouse-drag orbit equivalent: phi clamps near the poles, radius stays
+    positive (OrbitCamera input contract, SURVEY C17)."""
+    s = scenes.GlobeScene()
+    s.orbit(d_phi=10.0)
+    assert abs(s._orbit["phi"]) <= 1.55
+    s.orbit(d_radius=-1000.0)
+    assert s._orbit["radius"] > 0
+    img = s.render(16, 16)
+    assert np.isfinite(img).all()
