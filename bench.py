@@ -8,8 +8,13 @@ vs_baseline is value / 1e9 (the driver-set target; the reference itself
 publishes no numbers — its implied realtime ceiling is 1.73e6, see
 BASELINE.md).
 
-Note: under the axon TPU platform ``block_until_ready`` does not reliably
-synchronize, so timing forces a device→host readback of one array.
+Notes:
+* under the axon TPU platform ``block_until_ready`` does not reliably
+  synchronize, so timing forces a device→host readback of one array;
+* each launch pays a ~46 ms fixed dispatch cost through the axon tunnel, so
+  the benchmark runs a sustained 30k-substep launch (the engine's intended
+  usage — the reference steps continuously at 480 Hz) to measure the true
+  kernel rate rather than the tunnel.
 """
 
 from __future__ import annotations
@@ -24,7 +29,7 @@ import numpy as np
 
 TARGET = 1.0e9
 H = W = 256
-SUBSTEPS = 2000
+SUBSTEPS = 30_000
 DT = 1.0 / 480.0
 
 
