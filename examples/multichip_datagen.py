@@ -22,7 +22,11 @@ from wgpu_physics_engine_tpu.render import texture as T
 
 
 def main(n_worlds=64, n_frames=4, fb=64, outdir="/tmp/wpe_datagen"):
-    devices = jax.devices()
+    import math
+
+    # the worlds axis must divide evenly across the mesh
+    n_dev = math.gcd(n_worlds, len(jax.devices()))
+    devices = jax.devices()[:n_dev]
     m = pmesh.make_mesh((len(devices),), ("worlds",), devices)
     print(f"mesh: {m}")
 

@@ -65,3 +65,18 @@ def test_pallas_pins():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_array_equal(
         np.asarray(got.pos)[:, 0, :], np.asarray(state.pos)[:, 0, :])
+
+
+def test_fast_math_stays_within_fidelity_bar():
+    """fast_math (rsqrt) deviates from the exact kernel by ulps, far inside
+    the 1e-4 bar even through impact."""
+    c = cfg.ClothConfig(height=16, width=16, center=(0.0, 12.0, 0.0),
+                        cloth_size=8.0)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    dt = jnp.float32(1 / 480)
+    a = cloth_pallas.multi_step(state, params, dt, 330, interpret=True)
+    b = cloth_pallas.multi_step(state, params, dt, 330, interpret=True,
+                                fast_math=True)
+    np.testing.assert_allclose(np.asarray(b.pos), np.asarray(a.pos),
+                               atol=1e-4, rtol=1e-4)

@@ -1,0 +1,44 @@
+"""Examples must keep working (they are user-facing documentation)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_multichip_datagen_example(tmp_path):
+    import multichip_datagen
+
+    multichip_datagen.main(n_worlds=4, n_frames=1, fb=16,
+                           outdir=str(tmp_path))
+    files = os.listdir(tmp_path)
+    assert any(f.endswith(".npy") for f in files)
+
+
+def test_differentiable_example_one_step():
+    import differentiable_cloth as dc
+    import wgpu_physics_engine_tpu as eng
+    from wgpu_physics_engine_tpu.models import cloth
+
+    # one gradient evaluation of the example's rollout objective
+    c = eng.ClothConfig(height=8, width=8)
+    state0 = eng.init_cloth_state(c)
+    pin = np.zeros((8, 8), bool)
+    pin[0, :] = True
+    state0 = state0._replace(pin_mask=jnp.asarray(pin), pin_pos=state0.pos)
+    base = eng.ClothParams.from_config(c)
+    dt = jnp.float32(1 / 480)
+
+    def loss(k):
+        params = base._replace(k_struct=k)
+        step = jax.checkpoint(lambda s: cloth.substep(s, params, dt))
+        s, _ = jax.lax.scan(lambda s, _: (step(s), None), state0, None,
+                            length=24)
+        return jnp.mean(s.pos[1])
+
+    v, g = jax.value_and_grad(loss)(jnp.float32(450.0))
+    assert np.isfinite(float(v)) and np.isfinite(float(g))
