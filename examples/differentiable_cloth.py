@@ -1,11 +1,19 @@
 """Differentiable simulation — a capability the reference cannot express.
 
 Because the whole step is a pure jitted function, ``jax.grad`` flows through
-the simulator: here we optimize the structural stiffness so the cloth's
-center of mass lands at a target height after 0.5 simulated seconds.
+the simulator (springs, damping, contact, friction, projection). Here we
+recover the gravity that makes the cloth's center of mass hit a target
+height after one simulated second — a tiny inverse problem solved by
+gradient descent THROUGH 480 physics substeps.
 
 Run:  python examples/differentiable_cloth.py
 """
+
+import os
+import sys
+
+# allow running straight from a source checkout without installation
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -15,36 +23,32 @@ from wgpu_physics_engine_tpu.models import cloth
 
 
 def main():
-    import numpy as np
-
     c = eng.ClothConfig(height=16, width=16)
-    state0 = eng.init_cloth_state(c)
-    pin = np.zeros((16, 16), bool)
-    pin[0, :] = True     # hang from the top row so stiffness matters
-    state0 = state0._replace(pin_mask=jnp.asarray(pin), pin_pos=state0.pos)
+    state0 = eng.init_cloth_state(c)        # flat sheet at y = 40
     base = eng.ClothParams.from_config(c)
     dt = jnp.float32(1.0 / 480.0)
-    target_y = jnp.float32(35.0)
+    target_y = jnp.float32(30.0)            # want COM at 30 after 1 s
+    # analytic answer for pure free fall: g = -2 * 10 / 1² = -20
 
-    # rematerialize each substep so a 240-step rollout backprops in O(sqrt)
-    # memory
-    def rollout(k_struct):
-        params = base._replace(k_struct=k_struct)
+    def rollout(gravity):
+        params = base._replace(gravity=gravity)
+        # rematerialize each substep: 480-step rollout backprops in
+        # O(sqrt(T)) memory
         step = jax.checkpoint(lambda s: cloth.substep(s, params, dt))
         s, _ = jax.lax.scan(lambda s, _: (step(s), None), state0, None,
-                            length=240)
+                            length=480)
         return jnp.mean(s.pos[1])
 
-    def loss(k_struct):
-        return (rollout(k_struct) - target_y) ** 2
+    def loss(gravity):
+        return (rollout(gravity) - target_y) ** 2
 
     grad_fn = jax.jit(jax.value_and_grad(loss))
-    k = jnp.float32(450.0)
-    for i in range(10):
-        l, g = grad_fn(k)
-        k = k - 1e3 * g   # crude gradient descent
-        print(f"iter {i}: loss {float(l):.5f} k_struct {float(k):.2f} "
-              f"grad {float(g):.2e}")
+    g = jnp.float32(-9.81)
+    for i in range(8):
+        l, dg = grad_fn(g)
+        g = g - 0.5 * dg
+        print(f"iter {i}: loss {float(l):9.5f}  gravity {float(g):8.4f}  "
+              f"(analytic -20)")
 
 
 if __name__ == "__main__":

@@ -8,6 +8,12 @@ Run on a TPU pod slice, or simulate locally:
 """
 
 import os
+import sys
+
+# allow running straight from a source checkout without installation
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import os
 
 import jax
 import jax.numpy as jnp
