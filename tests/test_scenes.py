@@ -129,3 +129,28 @@ def test_orbit_input_clamps():
     assert s._orbit["radius"] > 0
     img = s.render(16, 16)
     assert np.isfinite(img).all()
+
+
+def test_datagen_randomized_cameras():
+    """Per-world viewpoints: randomized batched cameras give distinct images
+    of IDENTICAL states."""
+    import jax.numpy as jnp
+    from wgpu_physics_engine_tpu.parallel import datagen
+    from wgpu_physics_engine_tpu.core.state import ClothParams, ClothState
+    import wgpu_physics_engine_tpu as eng
+    import jax
+
+    c = cfg.ClothConfig(height=8, width=8)
+    base = eng.init_cloth_state(c)
+    batch = datagen.WorldBatch(
+        state=ClothState(pos=jnp.stack([base.pos] * 3),
+                         vel=jnp.stack([base.vel] * 3)),
+        params=jax.tree.map(lambda x: jnp.broadcast_to(x, (3,)),
+                            ClothParams.from_config(c)),
+    )
+    cams = datagen.randomized_cameras(3, jax.random.key(0))
+    _, imgs = datagen.step_and_render(
+        batch, jnp.float32(1 / 480), 1, cams,
+        datagen.T.checkerboard(), fb_size=(24, 24), use_pallas=False)
+    a, b = np.asarray(imgs[0]), np.asarray(imgs[1])
+    assert not np.array_equal(a, b)     # same state, different viewpoint

@@ -60,6 +60,22 @@ def randomized_worlds(config: cfg.ClothConfig, n_worlds: int, key: jax.Array,
     return WorldBatch(state=ClothState(pos=pos, vel=vel), params=params)
 
 
+def randomized_cameras(n_worlds: int, key: jax.Array,
+                       radius_range=(30.0, 55.0),
+                       phi_range=(0.05, 1.2),
+                       aspect: float = 1.0) -> R.Camera:
+    """Batched orbit cameras (leaves have a leading worlds axis): random
+    azimuth, elevation, and zoom per world — varied dataset viewpoints."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    theta = jax.random.uniform(k1, (n_worlds,), jnp.float32, 0.0, 2 * jnp.pi)
+    phi = jax.random.uniform(k2, (n_worlds,), jnp.float32, *phi_range)
+    radius = jax.random.uniform(k3, (n_worlds,), jnp.float32, *radius_range)
+    return jax.vmap(
+        lambda r, t, p: R.make_camera(cfg.CameraConfig(), aspect,
+                                      radius=r, theta=t, phi=p)
+    )(radius, theta, phi)
+
+
 def _render_world(pos: jnp.ndarray, camera: R.Camera, globe_radius,
                   particle_radius, globe_tex, light: cfg.LightConfig,
                   fb_size: Tuple[int, int], chunk: int) -> jnp.ndarray:
@@ -84,8 +100,11 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
     """Advance every world ``n_steps`` substeps, then render each to a
     framebuffer. Returns (new batch, images [B, h, w, 3] — uint8 by default:
     device→host egress is the datagen bottleneck, 4× smaller than fp32).
-    Fully on-device; shard the batch over a ``worlds`` mesh axis to scale
-    across chips."""
+    ``camera`` may be a single Camera or a batched one (leading worlds axis
+    on every leaf, e.g. from :func:`randomized_cameras`) for per-world
+    viewpoints. Fully on-device; shard the batch over a ``worlds`` mesh
+    axis to scale across chips."""
+    batched_cam = camera.view.ndim == 3
     if use_pallas:
         from ..ops import cloth_pallas
 
@@ -99,8 +118,8 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
         )(batch.state, batch.params)
 
     def rend(args):
-        state, params = args
-        img = _render_world(state.pos, camera, params.globe_radius,
+        state, params, cam = args
+        img = _render_world(state.pos, cam, params.globe_radius,
                             params.particle_radius, globe_tex, light,
                             fb_size, chunk)
         if as_uint8:
@@ -109,9 +128,12 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
             img = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
         return img
 
+    n_worlds = batch.state.pos.shape[0]
+    cams = camera if batched_cam else jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_worlds,) + x.shape), camera)
     # a plain vmap would materialize [worlds, pixels, chunk] intermediates
     # (64 GB at 512 worlds x 256^2); map in bounded world batches instead
-    images = jax.lax.map(rend, (new_state, batch.params), batch_size=8)
+    images = jax.lax.map(rend, (new_state, batch.params, cams), batch_size=8)
     return WorldBatch(state=new_state, params=batch.params), images
 
 
@@ -123,6 +145,7 @@ def generate_trajectory_dataset(
     globe_tex: Optional[jnp.ndarray] = None,
     world_chunk: Optional[int] = None,
     use_pallas: bool = True,
+    randomize_cameras: bool = False,
 ):
     """Yield (frame_idx, images [B, h, w, 3], batch) host-side per frame.
 
@@ -131,20 +154,24 @@ def generate_trajectory_dataset(
     """
     import numpy as np
 
-    camera = camera or R.make_camera(cfg.CameraConfig(), aspect=1.0)
     globe_tex = T.checkerboard() if globe_tex is None else globe_tex
     world_chunk = world_chunk or n_worlds
     dt = jnp.float32(1.0 / config.hz)
 
     batches = []
+    cameras = []
     for i, k in enumerate(jax.random.split(key, n_worlds // world_chunk)):
         batches.append(randomized_worlds(config, world_chunk, k))
+        if randomize_cameras:
+            cameras.append(randomized_cameras(world_chunk, jax.random.fold_in(k, 7)))
+        else:
+            cameras.append(camera or R.make_camera(cfg.CameraConfig(), aspect=1.0))
 
     for f in range(n_frames):
         imgs = []
         for bi in range(len(batches)):
             batches[bi], im = step_and_render(
-                batches[bi], dt, steps_per_frame, camera, globe_tex,
+                batches[bi], dt, steps_per_frame, cameras[bi], globe_tex,
                 fb_size=fb_size, use_pallas=use_pallas)
             imgs.append(np.asarray(im))
         yield f, np.concatenate(imgs, axis=0), batches
