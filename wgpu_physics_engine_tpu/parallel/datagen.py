@@ -131,9 +131,12 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
     n_worlds = batch.state.pos.shape[0]
     cams = camera if batched_cam else jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n_worlds,) + x.shape), camera)
-    # a plain vmap would materialize [worlds, pixels, chunk] intermediates
-    # (64 GB at 512 worlds x 256^2); map in bounded world batches instead
-    images = jax.lax.map(rend, (new_state, batch.params, cams), batch_size=8)
+    # sequential map (no batch_size → no vmap): a vmap would (a) batch the
+    # Pallas raster kernel's SMEM scalars, which Mosaic rejects, and
+    # (b) materialize [worlds, pixels, chunk] intermediates in the XLA path
+    # (64 GB at 512 worlds x 256^2). One world renders in ~3 ms on chip, so
+    # sequential costs nothing.
+    images = jax.lax.map(rend, (new_state, batch.params, cams))
     return WorldBatch(state=new_state, params=batch.params), images
 
 
