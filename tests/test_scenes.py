@@ -154,3 +154,16 @@ def test_datagen_randomized_cameras():
         datagen.T.checkerboard(), fb_size=(24, 24), use_pallas=False)
     a, b = np.asarray(imgs[0]), np.asarray(imgs[1])
     assert not np.array_equal(a, b)     # same state, different viewpoint
+
+
+def test_datagen_randomize_cameras_path():
+    import jax
+    from wgpu_physics_engine_tpu.parallel import datagen
+
+    gen = datagen.generate_trajectory_dataset(
+        cfg.ClothConfig(height=8, width=8), n_worlds=3, n_frames=1,
+        steps_per_frame=2, key=jax.random.key(1), fb_size=(16, 16),
+        use_pallas=False, randomize_cameras=True)
+    _, imgs, _ = next(iter(gen))
+    assert imgs.shape == (3, 16, 16, 3)
+    assert not np.array_equal(imgs[0], imgs[1])
