@@ -35,6 +35,8 @@ def main(argv=None) -> int:
     p.add_argument("--worlds", type=int, default=64)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--outdir", default="datagen_out")
+    p.add_argument("--random-cameras", action="store_true",
+                   help="datagen: randomize viewpoint per world")
     args = p.parse_args(argv)
 
     from .core import config as cfg
@@ -54,7 +56,8 @@ def main(argv=None) -> int:
             height=args.grid, width=args.grid)
         gen = datagen.generate_trajectory_dataset(
             c, n_worlds=args.worlds, n_frames=args.frames, steps_per_frame=24,
-            key=jax.random.key(0), fb_size=tuple(args.size))
+            key=jax.random.key(0), fb_size=tuple(args.size),
+            randomize_cameras=args.random_cameras)
         os.makedirs(args.outdir, exist_ok=True)
         writer = native.ShardWriter() if native.available() else None
         n = 0
