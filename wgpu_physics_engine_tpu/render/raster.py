@@ -18,7 +18,6 @@ functional analog of a wgpu render pass.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
