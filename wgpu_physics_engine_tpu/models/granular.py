@@ -4,15 +4,30 @@ bounce, box walls, and uniform-grid pairwise contact (BASELINE configs[2]:
 broad-phase").
 
 Extends the reference's free-particle integrator (C8/C9: gravity + wall
-reflect, 10 particles, no interactions) with real particle-particle contact
-via :mod:`wgpu_physics_engine_tpu.models.broadphase`.
+reflect, 10 particles, no interactions — see
+/root/reference/simulations/4_instances_imgui/compute_movement.wgsl:36-105)
+with real particle-particle contact via
+:mod:`wgpu_physics_engine_tpu.models.broadphase`.
+
+Two broad-phase schedules:
+
+* ``rebuild_every=1`` — rebuild the sorted grid and re-derive candidate
+  windows every substep (round-1 path; gather-index generation dominates,
+  ~2 ns per index on v5e).
+* ``rebuild_every=K>1`` (default) — **frozen Verlet lists**: build a
+  ``[N, max_neighbors]`` candidate matrix once with query radius
+  ``2·radius + skin``, then reuse it for K substeps. The gather indices
+  become loop-invariant across the inner scan, which removes the dominant
+  per-step cost, and the per-step candidate count shrinks from
+  ``9·window`` to ``max_neighbors``. Correct while relative displacement
+  between rebuilds stays under ``skin/2`` (Verlet-list invariant).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,12 +48,24 @@ class GranularConfig:
     gravity: float = -9.81
     restitution: float = 0.5         # ground/wall bounce energy retention
     grid_capacity: int = 8
-    window: int = 24                 # candidates per z-triple window
+    window: int = 32                 # candidates per z-triple window
+    skin: Optional[float] = None     # Verlet skin; default 2·radius
+    max_neighbors: int = 48          # frozen-list width
+    rebuild_every: int = 8           # substeps per neighbor-list rebuild
+
+    @property
+    def skin_value(self) -> float:
+        return 2.0 * self.radius if self.skin is None else self.skin
+
+    @property
+    def query_radius(self) -> float:
+        return 2.0 * self.radius + (
+            self.skin_value if self.rebuild_every > 1 else 0.0)
 
     def grid_spec(self) -> broadphase.GridSpec:
         # cap grid dims at 128^3: cell_start construction is a searchsorted
         # over num_cells queries (~140 ms/Mcell on v5e), the main fixed cost
-        cell = max(2.0 * self.radius, 2.0 * self.bounds / 128)
+        cell = max(self.query_radius, 2.0 * self.bounds / 128)
         dims = int(2.0 * self.bounds / cell) + 1
         return broadphase.GridSpec(
             origin=(-self.bounds, -self.bounds, -self.bounds),
@@ -69,37 +96,119 @@ def init_state(config: GranularConfig, key: jax.Array) -> ParticleState:
                          vel=jnp.zeros((3, n), jnp.float32))
 
 
-def substep(state: ParticleState, config: GranularConfig,
-            dt: jnp.ndarray) -> ParticleState:
-    """One step: grid rebuild → pair contact forces → gravity → integrate →
-    ground/wall response with restitution."""
-    spec = config.grid_spec()
-    # scatter-free sorted-window broad-phase (TPU scatters serialize; see
-    # broadphase.SortedGrid)
-    grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
-    force = broadphase.pair_forces_sorted(grid, spec, config.radius,
-                                          config.k_contact,
-                                          window=config.window)
-    force = force.at[1].add(jnp.float32(config.gravity))   # unit mass
-
-    vel = state.vel + force * dt
-    pos = state.pos + vel * dt
-
-    # ground plane + walls: clamp & reflect with restitution
+def _wall_response(pos: jnp.ndarray, vel: jnp.ndarray,
+                   config: GranularConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ground plane + walls: clamp & reflect with restitution."""
     limit = jnp.float32(config.bounds - config.radius)
     e = jnp.float32(config.restitution)
     hit_low = (pos < -limit) & (vel < 0.0)
     hit_high = (pos > limit) & (vel > 0.0)
     vel = jnp.where(hit_low | hit_high, -e * vel, vel)
     pos = jnp.clip(pos, -limit, limit)
-    return ParticleState(pos=pos, vel=vel)
+    return pos, vel
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_steps"))
+def substep(state: ParticleState, config: GranularConfig,
+            dt: jnp.ndarray, return_stats: bool = False):
+    """One step with per-step grid rebuild: grid → pair contact forces →
+    gravity → integrate → ground/wall response with restitution.
+
+    With ``return_stats=True`` also returns the dropped-candidate count
+    from the windowed broad-phase (telemetry for silent contact loss)."""
+    spec = config.grid_spec()
+    # scatter-free sorted-window broad-phase (TPU scatters serialize; see
+    # broadphase.SortedGrid)
+    grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
+    force, dropped = broadphase.pair_forces_sorted(
+        grid, spec, config.radius, config.k_contact,
+        window=config.window, return_stats=True)
+    force = force.at[1].add(jnp.float32(config.gravity))   # unit mass
+
+    vel = state.vel + force * dt
+    pos = state.pos + vel * dt
+    pos, vel = _wall_response(pos, vel, config)
+    new = ParticleState(pos=pos, vel=vel)
+    if return_stats:
+        return new, dropped
+    return new
+
+
+def _frozen_substep(pos: jnp.ndarray, vel: jnp.ndarray, idx: jnp.ndarray,
+                    mask: jnp.ndarray, config: GranularConfig,
+                    dt: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One substep against a frozen candidate list (sorted order).
+
+    ``idx``/``mask`` are loop-invariant across the inner scan — XLA hoists
+    the index tensor and the gather runs at data-rate instead of paying
+    per-step index generation (the round-1 bottleneck)."""
+    min_dist = 2.0 * jnp.float32(config.radius)
+    cpos = pos[:, idx]                                   # [3, N, M]
+    d = pos[:, :, None] - cpos
+    dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+    touching = mask & (dist < min_dist) & (dist > 1e-6)
+    inv = 1.0 / jnp.where(dist > 1e-6, dist, 1.0)
+    f = jnp.where(touching[None],
+                  (jnp.float32(config.k_contact) * (min_dist - dist) * inv)[None] * d,
+                  0.0)
+    force = jnp.sum(f, axis=2)
+    force = force.at[1].add(jnp.float32(config.gravity))
+    vel = vel + force * dt
+    pos = pos + vel * dt
+    return _wall_response(pos, vel, config)
+
+
+def _run_block(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
+               length: int) -> Tuple[ParticleState, jnp.ndarray]:
+    """Rebuild the frozen candidate list, run ``length`` substeps on it,
+    return state in ORIGINAL particle order + dropped-candidate count."""
+    spec = config.grid_spec()
+    grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
+    idx, mask, dropped = broadphase.build_candidates(
+        grid, spec, config.query_radius, config.window, config.max_neighbors)
+
+    def inner(c, _):
+        return _frozen_substep(c[0], c[1], idx, mask, config, dt), None
+
+    (pos, vel), _ = jax.lax.scan(
+        inner, (grid.sorted_pos, grid.sorted_vel), None, length=length)
+    inv = jnp.argsort(grid.order, stable=True)
+    return ParticleState(pos=pos[:, inv], vel=vel[:, inv]), dropped
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_steps",
+                                             "return_stats"))
 def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
-               n_steps: int) -> ParticleState:
-    def body(s, _):
-        return substep(s, config, dt), None
+               n_steps: int, return_stats: bool = False):
+    """``n_steps`` substeps. ``rebuild_every>1`` uses the frozen Verlet-list
+    schedule; ``rebuild_every=1`` rebuilds the broad-phase each substep.
 
-    out, _ = jax.lax.scan(body, state, None, length=n_steps)
-    return out
+    With ``return_stats=True`` returns ``(state, dropped_max)`` where
+    ``dropped_max`` is the worst per-rebuild dropped-candidate count —
+    nonzero means ``window``/``max_neighbors`` are undersized and contacts
+    were silently lost (see :func:`broadphase.build_candidates`)."""
+    k = max(1, config.rebuild_every)
+    if k == 1:
+        def body(carry, _):
+            s, dmax = carry
+            s, d = substep(s, config, dt, return_stats=True)
+            return (s, jnp.maximum(dmax, d)), None
+
+        (out, dmax), _ = jax.lax.scan(body, (state, jnp.int32(0)), None,
+                                      length=n_steps)
+        return (out, dmax) if return_stats else out
+
+    n_outer, rem = divmod(n_steps, k)
+
+    def outer(carry, _):
+        s, dmax = carry
+        s, d = _run_block(s, config, dt, k)
+        return (s, jnp.maximum(dmax, d)), None
+
+    dmax = jnp.int32(0)
+    if n_outer:
+        (state, dmax), _ = jax.lax.scan(outer, (state, dmax), None,
+                                        length=n_outer)
+    if rem:
+        state, d = _run_block(state, config, dt, rem)
+        dmax = jnp.maximum(dmax, d)
+    return (state, dmax) if return_stats else state
