@@ -95,6 +95,52 @@ def test_halo_widening_matches_single(devices8, k):
     np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel), atol=1e-4)
 
 
+@pytest.mark.parametrize("k", [1, 4])
+def test_spatial_kernel_matches_xla_path(devices8, k):
+    """The fused Pallas window kernel under shard_map (interpret mode on
+    CPU) ≡ the XLA shard body ≡ the single-device stencil (VERDICT round-1
+    item #3: run the Pallas steppers under shard_map)."""
+    c = cfg.ClothConfig(height=32, width=16)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    state = state._replace(
+        vel=jax.random.normal(jax.random.key(2), state.vel.shape, jnp.float32))
+    m = pmesh.make_mesh((4,), ("rows",), devices8[:4])
+    dt = jnp.float32(1 / 480)
+    out_k = pmesh.spatial_multi_step(state, params, dt, 20, m,
+                                     substeps_per_exchange=k, use_kernel=True)
+    out_x = pmesh.spatial_multi_step(state, params, dt, 20, m,
+                                     substeps_per_exchange=k, use_kernel=False)
+    np.testing.assert_allclose(np.asarray(out_k.pos), np.asarray(out_x.pos),
+                               atol=1e-5)
+    ref = state
+    for _ in range(20):
+        ref = cloth.substep(ref, params, dt)
+    np.testing.assert_allclose(np.asarray(out_k.pos), np.asarray(ref.pos),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_k.vel), np.asarray(ref.vel),
+                               atol=1e-4)
+
+
+def test_spatial_kernel_with_pins_matches(devices8):
+    c = cfg.ClothConfig(height=16, width=16)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    pin = np.zeros((16, 16), bool)
+    pin[0, :] = True
+    state = state._replace(pin_mask=jnp.asarray(pin), pin_pos=state.pos)
+    m = pmesh.make_mesh((4,), ("rows",), devices8[:4])
+    out = pmesh.spatial_multi_step(state, params, jnp.float32(1 / 480), 30, m,
+                                   substeps_per_exchange=2, use_kernel=True)
+    ref = state
+    for _ in range(30):
+        ref = cloth.substep(ref, params, jnp.float32(1 / 480))
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out.pos)[:, 0, :], np.asarray(state.pos)[:, 0, :])
+
+
 def test_halo_widening_with_pins(devices8):
     c = cfg.ClothConfig(height=16, width=16)
     params = ClothParams.from_config(c)

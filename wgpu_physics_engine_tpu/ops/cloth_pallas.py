@@ -70,8 +70,18 @@ def _family_masks(h, w, dr, dc, dtype=jnp.float32):
     return ok
 
 
-def _kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
-            pos_out, vel_out, *, h, w, n_steps, use_pins, fast_math=False):
+def _kernel(params_ref, *refs, h, w, n_steps, use_pins, fast_math=False,
+            window=False):
+    """Fused multi-substep body. With ``window=True`` an extra leading
+    ``window_ref`` (SMEM int32 [2] = (row0, h_global)) precedes the state
+    refs: the block is a halo-extended window of a larger grid whose row 0
+    sits at GLOBAL row ``row0`` (may be negative on the top boundary
+    shard), and spring masks use global row validity — the shard-local
+    body of the distributed path (parallel/mesh.py)."""
+    if window:
+        window_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref, pos_out, vel_out = refs
+    else:
+        pos_ref, vel_ref, pinm_ref, pinpos_ref, pos_out, vel_out = refs
     prm = lambda i: params_ref[i]
     k = (prm(0), prm(1), prm(2))
     c = (prm(3), prm(4), prm(5))
@@ -85,7 +95,25 @@ def _kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
         pin = pinm_ref[...] != 0.0
         px_pin, py_pin, pz_pin = pinpos_ref[0], pinpos_ref[1], pinpos_ref[2]
 
-    masks = [_family_masks(h, w, dr, dc) for dr, dc, _ in _FAMILIES]
+    if window:
+        # masks from GLOBAL row ids: an edge is real iff both endpoints are
+        # inside the global grid (halo rows past the boundary are dead) AND
+        # it does not wrap the local window
+        row0 = window_ref[0]
+        h_global = window_ref[1]
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        grow = lrow + row0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        masks = []
+        for dr, dc, _ in _FAMILIES:
+            ok = (grow >= 0) & (grow < h_global - dr) & (lrow < h - dr)
+            if dc >= 0:
+                ok = ok & (cols < (w - dc))
+            else:
+                ok = ok & (cols >= -dc)
+            masks.append(ok)
+    else:
+        masks = [_family_masks(h, w, dr, dc) for dr, dc, _ in _FAMILIES]
 
     def dist_inv(d2):
         """(dist, 1/dist) with the zero guard; d2 = squared distance.
@@ -258,7 +286,12 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
                     state, params, dt, n_steps, k_sub=sched[0],
                     interpret=interpret)
         from ..models import cloth
+        from ..utils.metrics import get_logger
 
+        get_logger().warning(
+            "grid %dx%d exceeds the fused-kernel VMEM budget and no banded "
+            "schedule fits (h %% 8 != 0 or n_steps indivisible); stepping "
+            "with the ~10-60x slower XLA stencil path", h, w)
         return cloth.multi_step(state, params, dt, n_steps)
     use_pins = state.pin_mask is not None
     pvec = _pack_params(params, dt)
@@ -292,3 +325,57 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
         interpret=interpret,
     )(pvec, state.pos, state.vel, pinm, pinpos)
     return state._replace(pos=out_pos, vel=out_vel)
+
+
+def multi_step_window(pos, vel, pin_mask, pin_pos, params, dt, n_steps: int,
+                      row0, h_global: int, interpret: Optional[bool] = None,
+                      fast_math: bool = False):
+    """``n_steps`` fused substeps on a halo-extended WINDOW of a larger
+    grid — the shard-local body of the spatially-sharded multi-chip path
+    (parallel/mesh.py calls this inside ``shard_map``).
+
+    ``pos``/``vel``: local ``[3, h_ext, W]`` including halo rows already
+    exchanged by the caller; ``row0``: GLOBAL row index of local row 0
+    (traced int32; negative on the top shard where halo rows are dead);
+    ``h_global``: global grid height. Spring masks use global row
+    validity, so boundary semantics match the unsharded kernel exactly;
+    halo staleness is the caller's business (halo widening: 2 rows per
+    substep). Returns ``(pos, vel)`` including the (stale) halo rows —
+    the caller slices the center.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    h, w = pos.shape[-2:]
+    use_pins = pin_mask is not None
+    pvec = _pack_params(params, dt)
+    wvec = jnp.stack([jnp.int32(row0), jnp.int32(h_global)])
+    if use_pins:
+        pinm = pin_mask.astype(jnp.float32)
+        pinpos = pin_pos
+    else:
+        pinm = jnp.zeros((1, 1), jnp.float32)
+        pinpos = jnp.zeros((3, 1, 1), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, h=h, w=w, n_steps=n_steps, use_pins=use_pins,
+        fast_math=fast_math, window=True)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(pvec, wvec, pos, vel, pinm, pinpos)

@@ -95,12 +95,19 @@ def _exchange_halo(x: jnp.ndarray, axis_name: str, halo: int = HALO) -> jnp.ndar
 
 
 def _spatial_substep_local(pos, vel, pin_mask, pin_pos, params, dt, axis_name,
-                           substeps: int = 1):
+                           substeps: int = 1, use_kernel: bool = False,
+                           interpret=None):
     """Per-shard body: ONE halo exchange of width ``2·substeps`` followed by
     ``substeps`` local substeps (halo widening: stencil reach is 2 rows per
     substep, so a 2K halo stays correct for K substeps — the stale region
     creeps inward 2 rows/substep and is sliced off). K× fewer ppermutes on
-    ICI at the cost of K× redundant halo compute. Runs inside shard_map."""
+    ICI at the cost of K× redundant halo compute. Runs inside shard_map.
+
+    ``use_kernel=True`` steps the halo-extended block with the fused
+    Pallas kernel (:func:`ops.cloth_pallas.multi_step_window` — global-row
+    masks from the shard's row offset) instead of the XLA stencil: the
+    in-chip rate then matches the single-chip kernel instead of XLA rates.
+    """
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.psum(1, axis_name)
     h_local = pos.shape[-2]
@@ -108,17 +115,29 @@ def _spatial_substep_local(pos, vel, pin_mask, pin_pos, params, dt, axis_name,
 
     pos_ext = _exchange_halo(pos, axis_name, halo)
     vel_ext = _exchange_halo(vel, axis_name, halo)
-    row_valid = jnp.concatenate([
-        jnp.full((halo,), idx > 0),
-        jnp.ones((h_local,), bool),
-        jnp.full((halo,), idx < n - 1),
-    ])
     if pin_mask is not None:
         # pins are per-local-row; halo rows take their owners' pins
         pinm_ext = _exchange_halo(pin_mask[None].astype(jnp.float32),
                                   axis_name, halo)[0] != 0.0
         pinpos_ext = _exchange_halo(pin_pos, axis_name, halo)
 
+    if use_kernel:
+        from ..ops import cloth_pallas
+
+        row0 = idx * h_local - halo      # global row of ext row 0 (traced)
+        h_global = n * h_local
+        pos_ext, vel_ext = cloth_pallas.multi_step_window(
+            pos_ext, vel_ext,
+            pinm_ext if pin_mask is not None else None,
+            pinpos_ext if pin_mask is not None else None,
+            params, dt, substeps, row0, h_global, interpret=interpret)
+        return pos_ext[:, halo:-halo], vel_ext[:, halo:-halo]
+
+    row_valid = jnp.concatenate([
+        jnp.full((halo,), idx > 0),
+        jnp.ones((h_local,), bool),
+        jnp.full((halo,), idx < n - 1),
+    ])
     for _ in range(substeps):
         force_ext = cloth.spring_forces(pos_ext, vel_ext, params,
                                         row_valid=row_valid)
@@ -130,36 +149,58 @@ def _spatial_substep_local(pos, vel, pin_mask, pin_pos, params, dt, axis_name,
     return pos_ext[:, halo:-halo], vel_ext[:, halo:-halo]
 
 
+def _kernel_fits(state: ClothState, mesh: Mesh, axis: str,
+                 substeps: int) -> bool:
+    """Whether the halo-extended shard block fits the single-block fused
+    kernel's VMEM budget (ops.cloth_pallas._VMEM_PARTICLE_LIMIT)."""
+    from ..ops import cloth_pallas
+
+    h, w = state.pos.shape[-2:]
+    h_ext = h // mesh.shape[axis] + 2 * HALO * substeps
+    return h_ext * w <= cloth_pallas._VMEM_PARTICLE_LIMIT
+
+
 def spatial_substep(state: ClothState, params: ClothParams, dt: jnp.ndarray,
                     mesh: Mesh, axis: str = "rows",
-                    substeps: int = 1) -> ClothState:
+                    substeps: int = 1, use_kernel=None) -> ClothState:
     """``substeps`` substeps of a single cloth sharded by rows across
     ``axis``, with ONE halo exchange (width 2·substeps).
 
     Mathematically identical to ``substeps`` × :func:`cloth.substep` — halo
     rows carry true neighbor data, edges crossing the global boundary are
     masked, and the halo-widening redundancy is sliced off.
+
+    ``use_kernel`` steps each shard with the fused Pallas window kernel
+    (None = auto: on when the extended shard fits its VMEM budget, running
+    interpreted off-TPU). The kernel path matches the XLA path to fp32
+    stencil-order tolerance (see tests/test_parallel.py).
     """
     has_pins = state.pin_mask is not None
+    if use_kernel is None:
+        use_kernel = _kernel_fits(state, mesh, axis, substeps)
     spec3 = P(None, axis, None)   # [3, H, W] sharded on H
     spec2 = P(axis, None)          # [H, W]
 
     if has_pins:
         def body(pos, vel, pin_mask, pin_pos):
             return _spatial_substep_local(pos, vel, pin_mask, pin_pos,
-                                          params, dt, axis, substeps)
+                                          params, dt, axis, substeps,
+                                          use_kernel=use_kernel)
 
+        # check_vma=False: pallas_call results carry no varying-mesh-axes
+        # annotation, which trips shard_map's vma check on the kernel path
         f = shard_map(body, mesh=mesh,
                       in_specs=(spec3, spec3, spec2, spec3),
-                      out_specs=(spec3, spec3))
+                      out_specs=(spec3, spec3), check_vma=False)
         new_pos, new_vel = f(state.pos, state.vel, state.pin_mask, state.pin_pos)
     else:
         def body(pos, vel):
             return _spatial_substep_local(pos, vel, None, None, params, dt,
-                                          axis, substeps)
+                                          axis, substeps,
+                                          use_kernel=use_kernel)
 
         f = shard_map(body, mesh=mesh, in_specs=(spec3, spec3),
-                      out_specs=(spec3, spec3))
+                      out_specs=(spec3, spec3), check_vma=False)
         new_pos, new_vel = f(state.pos, state.vel)
     return state._replace(pos=new_pos, vel=new_vel)
 
@@ -196,22 +237,26 @@ def batched_spatial_multi_step(state: ClothState, params: ClothParams,
 
 def spatial_multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
                        n_steps: int, mesh: Mesh, axis: str = "rows",
-                       substeps_per_exchange: int = 1) -> ClothState:
+                       substeps_per_exchange: int = 1,
+                       use_kernel=None) -> ClothState:
     """``n_steps`` spatially-sharded substeps under one jit; halo ppermutes
     ride ICI once every ``substeps_per_exchange`` substeps (halo widening),
     state never leaves the devices. ``n_steps`` must be divisible by
-    ``substeps_per_exchange``."""
+    ``substeps_per_exchange``. ``use_kernel``: see :func:`spatial_substep`."""
     k = substeps_per_exchange
     assert n_steps % k == 0, "n_steps must be divisible by substeps_per_exchange"
     h_local = state.pos.shape[-2] // mesh.shape[axis]
     assert HALO * k <= h_local, (
         f"halo width {HALO * k} exceeds shard height {h_local}; lower "
         "substeps_per_exchange or use fewer shards")
+    if use_kernel is None:
+        use_kernel = _kernel_fits(state, mesh, axis, k)
 
     @functools.partial(jax.jit, static_argnames=())
     def run(s):
         def body(carry, _):
-            return spatial_substep(carry, params, dt, mesh, axis, k), None
+            return spatial_substep(carry, params, dt, mesh, axis, k,
+                                   use_kernel=use_kernel), None
 
         out, _ = jax.lax.scan(body, s, None, length=n_steps // k)
         return out
