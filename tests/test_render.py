@@ -155,3 +155,145 @@ def test_sphere_raster_kernel_matches_xla_path():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(fbA.color), np.asarray(fbB.color),
                                atol=1e-5)
+
+
+# --- golden-image regression artifacts (SURVEY §4.5) -----------------------
+# Committed 64x64 frames pin the full shading/color pipeline; a silent
+# constant flip (e.g. luminosity scale) that keeps analytic properties
+# intact still flips these. Regenerate ONLY for intended rendering changes:
+# tests/golden/regen.py.
+
+@pytest.mark.parametrize("name", ["globe", "cube", "cloth"])
+def test_golden_frame(name):
+    import os
+    from PIL import Image
+
+    from tests.golden.regen import golden_scenes
+
+    scene = dict(golden_scenes())[name]
+    got = (np.clip(scene.render(64, 64), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    path = os.path.join(os.path.dirname(__file__), "golden", f"{name}.png")
+    want = np.asarray(Image.open(path).convert("RGB"))
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # ulp-level fp differences across XLA builds round to at most ±1 in u8;
+    # real shading regressions shift whole regions by much more
+    assert diff.max() <= 2, f"max pixel diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02, f"{(diff > 0).mean():.1%} pixels differ"
+
+
+def test_golden_catches_shading_regression():
+    """A flipped shading constant must flip the golden test (meta-test:
+    the artifact actually guards what it claims to guard)."""
+    from tests.golden.regen import golden_scenes
+
+    scene = dict(golden_scenes())["globe"]
+    scene.set_light(ks=float(np.asarray(scene.light.ks)) * 2.0 + 0.5)
+    got = (np.clip(scene.render(64, 64), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    import os
+    from PIL import Image
+    path = os.path.join(os.path.dirname(__file__), "golden", "globe.png")
+    want = np.asarray(Image.open(path).convert("RGB"))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() > 2
+
+
+def test_load_texture_file_roundtrip(tmp_path):
+    """The PIL file-loading half of C18: write a real PNG, load it through
+    texture.get/load_texture, sample it, and render with it."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    path = str(tmp_path / "asset.png")
+    Image.fromarray(img).save(path)
+
+    tex = T.load_texture(path)
+    assert tex.shape == (32, 48, 3) and tex.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(tex), img / 255.0, atol=1e-6)
+    # get() prefers the real file over the procedural fallback
+    tex2 = T.get(path)
+    np.testing.assert_array_equal(np.asarray(tex2), np.asarray(tex))
+    # exact texel hit through the bilinear sampler (texel centers)
+    u = jnp.asarray([(5 + 0.5) / 48]); v = jnp.asarray([(9 + 0.5) / 32])
+    got = np.asarray(T.sample_bilinear(tex, u, v))[0]
+    np.testing.assert_allclose(got, img[9, 5] / 255.0, atol=1e-6)
+    # and a textured render actually consumes it
+    fb = R.clear(32, 32)
+    fb = R.draw_globe(fb, cam(radius=25.0), 10.0, tex, LIGHT)
+    assert np.asarray(fb.color).std() > 0.01
+
+
+# --- tile-binned mesh rasterizer (VERDICT round-1 item #7) ------------------
+
+def _img_close(a, b, frac=0.005, tol=1e-3):
+    """Rendered-image equality up to rare z-fight/edge-tie pixels."""
+    d = np.abs(np.asarray(a) - np.asarray(b)).max(axis=-1)
+    assert (d > tol).mean() <= frac, f"{(d > tol).mean():.2%} pixels differ"
+
+
+def test_mesh_tiled_matches_brute_sphere():
+    """The tiled resolver reproduces the brute-force render of a dense
+    sphere mesh (small tris exercise the binned path)."""
+    mesh = R.DeviceMesh.from_host(R.geometry.generate_uv_sphere(10.0, 48, 64))
+    c = cam(radius=30.0)
+    fb0 = R.clear(96, 96)
+    ref = R.draw_mesh(fb0, c, mesh, texture=T.checkerboard(), mode="phong",
+                      light=LIGHT, binned=False)
+    got, dropped = R.draw_mesh(fb0, c, mesh, texture=T.checkerboard(),
+                               mode="phong", light=LIGHT, binned=True,
+                               return_stats=True)
+    assert int(dropped) == 0
+    _img_close(got.color, ref.color)
+    _img_close(got.depth[..., None], ref.depth[..., None])
+
+
+def test_mesh_tiled_big_triangles():
+    """Triangles spanning many tiles (a close-up cube) go through the
+    compacted big-tri pass and still render correctly."""
+    mesh = R.DeviceMesh.from_host(R.geometry.cube_mesh(2.0))
+    c = cam(radius=4.0)
+    fb0 = R.clear(96, 96)
+    ref = R.draw_mesh(fb0, c, mesh, mode="color", binned=False)
+    got, dropped = R.draw_mesh(fb0, c, mesh, mode="color", binned=True,
+                               return_stats=True)
+    assert int(dropped) == 0
+    _img_close(got.color, ref.color)
+
+
+def test_mesh_tiled_mixed_small_and_big():
+    """Small sphere tris + screen-spanning cube tris composited in one
+    binned draw: both paths contribute, depth test between them holds."""
+    sphere = R.geometry.generate_uv_sphere(6.0, 24, 32)
+    cube = R.geometry.cube_mesh(30.0)     # huge, behind/around the sphere
+    import numpy as onp
+
+    class _M:
+        positions = onp.concatenate([sphere.positions, cube.positions])
+        normals = onp.concatenate([sphere.normals, cube.normals])
+        uvs = onp.concatenate([sphere.uvs, cube.uvs])
+        indices = onp.concatenate(
+            [onp.asarray(sphere.indices),
+             onp.asarray(cube.indices) + len(sphere.positions)])
+        colors = None
+
+    mesh = R.DeviceMesh.from_host(_M)
+    c = cam(radius=20.0)
+    fb0 = R.clear(96, 96)
+    ref = R.draw_mesh(fb0, c, mesh, mode="texture", texture=T.checkerboard(),
+                      binned=False, cull_backface=True)
+    got = R.draw_mesh(fb0, c, mesh, mode="texture", texture=T.checkerboard(),
+                      binned=True)
+    _img_close(got.color, ref.color)
+
+
+def test_mesh_tiled_window_overflow_reported():
+    """An absurdly small window loses geometry but REPORTS it (stats) —
+    no silent truncation."""
+    mesh = R.DeviceMesh.from_host(R.geometry.generate_uv_sphere(10.0, 48, 64))
+    c = cam(radius=30.0)
+    fb0 = R.clear(64, 64)
+    _, dropped = R.draw_mesh(fb0, c, mesh, mode="texture",
+                             texture=T.checkerboard(), binned=True,
+                             window=8, cand_chunk=8, return_stats=True)
+    assert int(dropped) > 0

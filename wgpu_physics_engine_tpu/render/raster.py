@@ -240,19 +240,260 @@ class DeviceMesh(NamedTuple):
         )
 
 
+def _edge(ax, ay, bx, by, cx, cy):
+    return (cx - ax) * (by - ay) - (cy - ay) * (bx - ax)
+
+
+def _tri_setup(tris, sx, sy, wclip, znear, cull_backface):
+    """Per-triangle screen-space setup shared by the brute and tiled
+    resolvers: vertex screen coords, signed area, and the front-facing +
+    in-front-of-near validity mask."""
+    i0, i1, i2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    x0, y0 = sx[i0], sy[i0]
+    x1, y1 = sx[i1], sy[i1]
+    x2, y2 = sx[i2], sy[i2]
+    area = _edge(x0, y0, x1, y1, x2, y2)
+    # CCW-in-NDC front faces (the reference's FrontFace::Ccw) come out
+    # with positive area under this edge function after the y flip.
+    front = (area > 0.0) if cull_backface else (area != 0.0)
+    front = front & (wclip[i0] > znear) & (wclip[i1] > znear) & \
+        (wclip[i2] > znear)
+    return (x0, y0, x1, y1, x2, y2), area, front
+
+
+def _resolve_brute(depth0, sx, sy, sz, wclip, tris, tvalid, znear,
+                   px, py, cull_backface, chunk,
+                   carry=None):
+    """O(pixels × tris) visibility resolve: scan triangle chunks against
+    every pixel. ``carry`` continues a resolve started elsewhere (the tiled
+    path reuses this for its large-triangle residue)."""
+    p = px.shape[0]
+    t = tris.shape[0]
+    pad = (-t) % chunk
+    tris_p = jnp.pad(tris, ((0, pad), (0, 0)))
+    tvalid = jnp.pad(tvalid, (0, pad))
+    n_chunks = tris_p.shape[0] // chunk
+    # carry tri ids must reference the CALLER's triangle numbering, so scan
+    # inputs carry their original ids explicitly
+    tri_ids = jnp.pad(jnp.arange(t, dtype=jnp.int32), (0, pad))
+
+    def one_chunk(carry, inp):
+        depth, win_tri, win_b0, win_b1 = carry
+        tr, tv, tid = inp
+        (x0, y0, x1, y1, x2, y2), area, front = _tri_setup(
+            tr, sx, sy, wclip, znear, cull_backface)
+        front = front & tv
+        inv_area = 1.0 / jnp.where(area != 0.0, area, 1.0)
+        i0, i1, i2 = tr[:, 0], tr[:, 1], tr[:, 2]
+
+        e0 = _edge(x1[None], y1[None], x2[None], y2[None], px[:, None], py[:, None])
+        e1 = _edge(x2[None], y2[None], x0[None], y0[None], px[:, None], py[:, None])
+        e2 = _edge(x0[None], y0[None], x1[None], y1[None], px[:, None], py[:, None])
+        b0 = e0 * inv_area[None]
+        b1 = e1 * inv_area[None]
+        b2 = e2 * inv_area[None]
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & front[None]
+        z = b0 * sz[i0][None] + b1 * sz[i1][None] + b2 * sz[i2][None]
+        z = jnp.where(inside, z, jnp.inf)
+        kbest = jnp.argmin(z, axis=1)
+        zbest = jnp.take_along_axis(z, kbest[:, None], 1)[:, 0]
+        better = zbest < depth
+        depth = jnp.where(better, zbest, depth)
+        win_tri = jnp.where(better, tid[kbest], win_tri)
+        win_b0 = jnp.where(better, jnp.take_along_axis(b0, kbest[:, None], 1)[:, 0], win_b0)
+        win_b1 = jnp.where(better, jnp.take_along_axis(b1, kbest[:, None], 1)[:, 0], win_b1)
+        return (depth, win_tri, win_b0, win_b1), None
+
+    if carry is None:
+        carry = (depth0, jnp.full((p,), -1, jnp.int32),
+                 jnp.zeros((p,), jnp.float32), jnp.zeros((p,), jnp.float32))
+    carry, _ = jax.lax.scan(
+        one_chunk, carry,
+        (tris_p.reshape(n_chunks, chunk, 3),
+         tvalid.reshape(n_chunks, chunk),
+         tri_ids.reshape(n_chunks, chunk)))
+    return carry
+
+
+def _resolve_tiled(depth0, sx, sy, sz, wclip, tris, znear, h, w,
+                   cull_backface, tile: int, window: int, cand_chunk: int,
+                   big_capacity: int):
+    """Tile-binned visibility resolve, O(pixels × tris-per-tile).
+
+    TPU-shaped binning (no atomics): each small triangle emits its ≤2×2
+    block of ``tile``×``tile`` screen tiles as (tile_id, tri) pairs; the
+    pairs are SORTED by tile id and answered as contiguous windows
+    (the broadphase.SortedGrid trick applied to screen space). Triangles
+    whose AABB spans more than 2 tiles on an axis are rare for dense
+    meshes — they're compacted into a ``big_capacity`` list and resolved
+    by the brute chunk scan over all pixels.
+
+    Returns ``(depth [P], win_tri, win_b0, win_b1, dropped)`` where
+    ``dropped`` counts candidates lost to ``window``/``big_capacity``
+    truncation (0 in a correctly-sized render).
+    """
+    t = tris.shape[0]
+    ntx = -(-w // tile)
+    nty = -(-h // tile)
+    n_tiles = ntx * nty
+    tpx = tile * tile
+    hp, wp = nty * tile, ntx * tile      # padded screen
+
+    (x0, y0, x1, y1, x2, y2), area, ok = _tri_setup(
+        tris, sx, sy, wclip, znear, cull_backface)
+    xmin = jnp.minimum(x0, jnp.minimum(x1, x2))
+    xmax = jnp.maximum(x0, jnp.maximum(x1, x2))
+    ymin = jnp.minimum(y0, jnp.minimum(y1, y2))
+    ymax = jnp.maximum(y0, jnp.maximum(y1, y2))
+    ok = ok & (xmax >= 0) & (xmin < w) & (ymax >= 0) & (ymin < h)
+    tx0 = jnp.clip(jnp.floor(xmin / tile).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile).astype(jnp.int32), 0, nty - 1)
+    big = ok & ((tx1 - tx0 > 1) | (ty1 - ty0 > 1))
+    small = ok & ~big
+
+    # --- bin small tris: 4 emissions (2x2 tile block), sort by tile id ---
+    tids = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            tx = tx0 + dx
+            ty = ty0 + dy
+            valid = small & (tx <= tx1) & (ty <= ty1)
+            tids.append(jnp.where(valid, ty * ntx + tx, n_tiles))
+    pair_tid = jnp.concatenate(tids)                       # [4T]
+    pair_tri = jnp.tile(jnp.arange(t, dtype=jnp.int32), 4)
+    order = jnp.argsort(pair_tid)
+    sorted_tid = pair_tid[order]
+    sorted_tri = pair_tri[order]
+    tile_start = jnp.searchsorted(
+        sorted_tid, jnp.arange(n_tiles + 1), side="left").astype(jnp.int32)
+    counts = tile_start[1:] - tile_start[:-1]
+    dropped = jnp.sum(jnp.maximum(counts - window, 0))
+
+    # --- tile-major pixel layout: [H, W] ↔ [n_tiles, tile*tile] ---
+    pxg = (jnp.arange(wp, dtype=jnp.float32) + 0.5)[None, :].repeat(hp, 0)
+    pyg = (jnp.arange(hp, dtype=jnp.float32) + 0.5)[:, None].repeat(wp, 1)
+
+    def to_tiles(a):
+        return a.reshape(nty, tile, ntx, tile).transpose(0, 2, 1, 3) \
+                .reshape(n_tiles, tpx)
+
+    def from_tiles(a):
+        return a.reshape(nty, ntx, tile, tile).transpose(0, 2, 1, 3) \
+                .reshape(hp, wp)[:h, :w]
+
+    px_t = to_tiles(pxg)
+    py_t = to_tiles(pyg)
+    d0 = jnp.full((hp, wp), jnp.inf, jnp.float32)
+    d0 = d0.at[:h, :w].set(depth0.reshape(h, w))
+    depth_t = to_tiles(d0)
+
+    k_idx = jnp.arange(cand_chunk, dtype=jnp.int32)
+    start = tile_start[:-1]
+    end = tile_start[1:]
+    n_steps = -(-window // cand_chunk)
+    n_pairs = sorted_tri.shape[0]
+
+    def step(carry, s):
+        depth, win_tri, win_b0, win_b1 = carry
+        slot = start[:, None] + s * cand_chunk + k_idx[None, :]   # [NT, C]
+        valid = slot < end[:, None]
+        tri_idx = sorted_tri[jnp.clip(slot, 0, n_pairs - 1)]      # [NT, C]
+        tr = tris[tri_idx]                                        # [NT, C, 3]
+        i0, i1, i2 = tr[..., 0], tr[..., 1], tr[..., 2]
+        cx0, cy0 = sx[i0], sy[i0]
+        cx1, cy1 = sx[i1], sy[i1]
+        cx2, cy2 = sx[i2], sy[i2]
+        careas = _edge(cx0, cy0, cx1, cy1, cx2, cy2)
+        inv_area = 1.0 / jnp.where(careas != 0.0, careas, 1.0)
+        # [NT, tpx, C] edge evals against this tile's pixels only
+        e0 = _edge(cx1[:, None], cy1[:, None], cx2[:, None], cy2[:, None],
+                   px_t[:, :, None], py_t[:, :, None])
+        e1 = _edge(cx2[:, None], cy2[:, None], cx0[:, None], cy0[:, None],
+                   px_t[:, :, None], py_t[:, :, None])
+        e2 = _edge(cx0[:, None], cy0[:, None], cx1[:, None], cy1[:, None],
+                   px_t[:, :, None], py_t[:, :, None])
+        b0 = e0 * inv_area[:, None, :]
+        b1 = e1 * inv_area[:, None, :]
+        b2 = e2 * inv_area[:, None, :]
+        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid[:, None, :]
+        z = b0 * sz[i0][:, None] + b1 * sz[i1][:, None] + b2 * sz[i2][:, None]
+        z = jnp.where(inside, z, jnp.inf)
+        kbest = jnp.argmin(z, axis=2)                             # [NT, tpx]
+        zbest = jnp.take_along_axis(z, kbest[..., None], 2)[..., 0]
+        better = zbest < depth
+        depth = jnp.where(better, zbest, depth)
+        win_tri = jnp.where(
+            better, jnp.take_along_axis(tri_idx, kbest, 1), win_tri)
+        win_b0 = jnp.where(
+            better, jnp.take_along_axis(b0, kbest[..., None], 2)[..., 0], win_b0)
+        win_b1 = jnp.where(
+            better, jnp.take_along_axis(b1, kbest[..., None], 2)[..., 0], win_b1)
+        return (depth, win_tri, win_b0, win_b1), None
+
+    carry0 = (depth_t, jnp.full((n_tiles, tpx), -1, jnp.int32),
+              jnp.zeros((n_tiles, tpx), jnp.float32),
+              jnp.zeros((n_tiles, tpx), jnp.float32))
+    carry, _ = jax.lax.scan(step, carry0,
+                            jnp.arange(n_steps, dtype=jnp.int32))
+    depth = from_tiles(carry[0]).reshape(-1)
+    win_tri = from_tiles(carry[1]).reshape(-1)
+    win_b0 = from_tiles(carry[2]).reshape(-1)
+    win_b1 = from_tiles(carry[3]).reshape(-1)
+
+    # --- big-triangle residue through the brute scan (compacted) ---
+    big_idx = jnp.argsort(~big, stable=True)[:big_capacity]
+    big_valid = big[big_idx]
+    n_big = jnp.sum(big)
+    dropped = dropped + jnp.maximum(n_big - big_capacity, 0)
+    px1 = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0).reshape(-1)
+    py1 = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1).reshape(-1)
+    # remap carry tri ids through big_idx afterwards: run the brute pass on
+    # the gathered subset, whose local ids are positions in big_idx
+    carry = (depth, win_tri, win_b0, win_b1)
+    d2, wt2, b02, b12 = _resolve_brute(
+        depth, sx, sy, sz, wclip, tris[big_idx], big_valid, znear,
+        px1, py1, cull_backface, min(big_capacity, 256), carry=None)
+    taken = (wt2 >= 0) & (d2 < depth)
+    depth = jnp.where(taken, d2, depth)
+    win_tri = jnp.where(taken, big_idx[jnp.clip(wt2, 0, big_capacity - 1)],
+                        win_tri)
+    win_b0 = jnp.where(taken, b02, win_b0)
+    win_b1 = jnp.where(taken, b12, win_b1)
+    return depth, win_tri, win_b0, win_b1, dropped
+
+
+# Auto-switch to the tiled resolver above this triangle count (the brute
+# path is O(pixels × tris); PARITY round-1 flagged ~50k as its limit).
+_BINNED_TRI_THRESHOLD = 20_000
+
+
 def draw_mesh(fb: Framebuffer, camera: Camera, mesh: DeviceMesh,
               model: Optional[jnp.ndarray] = None,
               texture: Optional[jnp.ndarray] = None,
               light: Optional[cfg.LightConfig] = None,
               mode: str = "phong",
               cull_backface: bool = True,
-              chunk: int = 256) -> Framebuffer:
+              chunk: int = 256,
+              binned: Optional[bool] = None,
+              tile: int = 16,
+              window: int = 4096,
+              cand_chunk: int = 256,
+              big_capacity: int = 2048,
+              return_stats: bool = False):
     """Z-buffered triangle rasterization with perspective-correct attribute
     interpolation — the general path matching the reference render pipeline
     state (depth Less, back-face culling, CCW front faces; cloth.rs:749-770).
 
     ``mode``: 'phong' (C6/C16 globe), 'diffuse' (C4 textured cube),
     'color' (C3 flat vertex colors), 'texture' (unlit, C10).
+
+    ``binned`` picks the tile-binned resolver (None = auto above
+    ~20k tris): work drops from O(pixels × tris) to O(pixels ×
+    tris-per-tile). ``window`` bounds candidate tris per ``tile``×``tile``
+    tile; ``return_stats=True`` additionally returns the dropped-candidate
+    count (nonzero = undersized window/big_capacity, geometry lost).
     """
     h, w = fb.depth.shape
     verts = mesh.positions
@@ -272,63 +513,27 @@ def draw_mesh(fb: Framebuffer, camera: Camera, mesh: DeviceMesh,
     if model is not None:
         nview = (mesh.normals @ model[:3, :3].T) @ camera.view[:3, :3].T
 
-    px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0).reshape(-1)
-    py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1).reshape(-1)
     p = h * w
-
     tris = mesh.tris
     t = tris.shape[0]
-    pad = (-t) % chunk
-    tris_p = jnp.pad(tris, ((0, pad), (0, 0)))
-    tvalid = jnp.arange(t + pad) < t
+    if binned is None:
+        binned = t >= _BINNED_TRI_THRESHOLD
 
-    def edge(ax, ay, bx, by, cx, cy):
-        return (cx - ax) * (by - ay) - (cy - ay) * (bx - ax)
-
-    n_chunks = tris_p.shape[0] // chunk
-
-    def one_chunk(carry, inp):
-        depth, win_tri, win_b0, win_b1 = carry
-        tr, tv, ci = inp
-        i0, i1, i2 = tr[:, 0], tr[:, 1], tr[:, 2]
-        x0, y0 = sx[i0], sy[i0]
-        x1, y1 = sx[i1], sy[i1]
-        x2, y2 = sx[i2], sy[i2]
-        area = edge(x0, y0, x1, y1, x2, y2)           # [K]
-        # CCW-in-NDC front faces (the reference's FrontFace::Ccw) come out
-        # with positive area under this edge function after the y flip.
-        front = (area > 0.0) if cull_backface else (area != 0.0)
-        front = front & tv & (wclip[i0] > camera.znear) & \
-            (wclip[i1] > camera.znear) & (wclip[i2] > camera.znear)
-        inv_area = 1.0 / jnp.where(area != 0.0, area, 1.0)
-
-        e0 = edge(x1[None], y1[None], x2[None], y2[None], px[:, None], py[:, None])
-        e1 = edge(x2[None], y2[None], x0[None], y0[None], px[:, None], py[:, None])
-        e2 = edge(x0[None], y0[None], x1[None], y1[None], px[:, None], py[:, None])
-        b0 = e0 * inv_area[None]
-        b1 = e1 * inv_area[None]
-        b2 = e2 * inv_area[None]
-        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & front[None]
-        z = b0 * sz[i0][None] + b1 * sz[i1][None] + b2 * sz[i2][None]
-        z = jnp.where(inside, z, jnp.inf)
-        kbest = jnp.argmin(z, axis=1)
-        zbest = jnp.take_along_axis(z, kbest[:, None], 1)[:, 0]
-        better = zbest < depth
-        depth = jnp.where(better, zbest, depth)
-        win_tri = jnp.where(better, ci * chunk + kbest, win_tri)
-        win_b0 = jnp.where(better, jnp.take_along_axis(b0, kbest[:, None], 1)[:, 0], win_b0)
-        win_b1 = jnp.where(better, jnp.take_along_axis(b1, kbest[:, None], 1)[:, 0], win_b1)
-        return (depth, win_tri, win_b0, win_b1), None
-
-    carry0 = (fb.depth.reshape(-1), jnp.full((p,), -1, jnp.int32),
-              jnp.zeros((p,), jnp.float32), jnp.zeros((p,), jnp.float32))
-    (depth, win_tri, win_b0, win_b1), _ = jax.lax.scan(
-        one_chunk, carry0,
-        (tris_p.reshape(n_chunks, chunk, 3), tvalid.reshape(n_chunks, chunk),
-         jnp.arange(n_chunks, dtype=jnp.int32)))
+    dropped = jnp.int32(0)
+    if binned:
+        depth, win_tri, win_b0, win_b1, dropped = _resolve_tiled(
+            fb.depth.reshape(-1), sx, sy, sz, wclip, tris, camera.znear,
+            h, w, cull_backface, tile, window, cand_chunk, big_capacity)
+    else:
+        px = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0).reshape(-1)
+        py = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1).reshape(-1)
+        tvalid = jnp.ones((t,), bool)
+        depth, win_tri, win_b0, win_b1 = _resolve_brute(
+            fb.depth.reshape(-1), sx, sy, sz, wclip, tris, tvalid,
+            camera.znear, px, py, cull_backface, chunk)
 
     hit = win_tri >= 0
-    tr = jnp.take(tris_p, jnp.where(hit, win_tri, 0), axis=0)   # [P,3]
+    tr = jnp.take(tris, jnp.where(hit, win_tri, 0), axis=0)   # [P,3]
     b0, b1 = win_b0, win_b1
     b2 = 1.0 - b0 - b1
 
@@ -366,10 +571,13 @@ def draw_mesh(fb: Framebuffer, camera: Camera, mesh: DeviceMesh,
 
     zg = depth.reshape(h, w)
     win = hitg
-    return Framebuffer(
+    out = Framebuffer(
         color=jnp.where(win[..., None], color, fb.color),
         depth=jnp.where(win, zg, fb.depth),
     )
+    if return_stats:
+        return out, dropped
+    return out
 
 
 def draw_lines(fb: Framebuffer, camera: Camera, segments: jnp.ndarray,
