@@ -225,6 +225,7 @@ struct Shard {
   std::string path;
   std::vector<int64_t> shape;
   std::vector<uint8_t> data;
+  std::string descr = "<f4";  // numpy dtype descr (e.g. "<f4", "|u1")
 };
 
 struct Writer {
@@ -260,8 +261,8 @@ struct Writer {
       if (i + 1 < s.shape.size() || s.shape.size() == 1) shape += ", ";
     }
     shape += ")";
-    std::string header = "{'descr': '<f4', 'fortran_order': False, 'shape': " +
-                         shape + ", }";
+    std::string header = "{'descr': '" + s.descr +
+                         "', 'fortran_order': False, 'shape': " + shape + ", }";
     size_t hlen = 10 + header.size() + 1;
     size_t pad = (64 - hlen % 64) % 64;
     header += std::string(pad, ' ');
@@ -284,24 +285,34 @@ void* wpe_writer_open() {
   return wr;
 }
 
-int wpe_writer_submit(void* handle, const char* path, const float* data,
-                      const int64_t* shape, int ndim) {
+// dtype-general submit: descr is a numpy descr literal ("<f4", "|u1",
+// "<i4", ...), itemsize its byte width. Data is copied synchronously so
+// the caller's buffer can be reused immediately.
+int wpe_writer_submit2(void* handle, const char* path, const void* data,
+                       const int64_t* shape, int ndim, const char* descr,
+                       int itemsize) {
   Writer* wr = (Writer*)handle;
   Shard s;
   s.path = path;
+  s.descr = descr;
   int64_t count = 1;
   for (int i = 0; i < ndim; ++i) {
     s.shape.push_back(shape[i]);
     count *= shape[i];
   }
-  s.data.resize((size_t)count * 4);
-  std::memcpy(s.data.data(), data, (size_t)count * 4);
+  s.data.resize((size_t)count * (size_t)itemsize);
+  std::memcpy(s.data.data(), data, s.data.size());
   {
     std::lock_guard<std::mutex> lk(wr->mu);
     wr->q.push_back(std::move(s));
   }
   wr->cv.notify_one();
   return 0;
+}
+
+int wpe_writer_submit(void* handle, const char* path, const float* data,
+                      const int64_t* shape, int ndim) {
+  return wpe_writer_submit2(handle, path, data, shape, ndim, "<f4", 4);
 }
 
 int64_t wpe_writer_pending(void* handle) {

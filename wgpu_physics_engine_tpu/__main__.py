@@ -63,7 +63,8 @@ def main(argv=None) -> int:
         n = 0
         for f, imgs, _ in gen:
             path = os.path.join(args.outdir, f"frame_{f:05d}.npy")
-            if writer is not None and imgs.dtype == np.float32:
+            if writer is not None:
+                # async C++ writer: disk IO overlaps the next TPU launch
                 writer.submit(path, imgs)
             else:
                 np.save(path, imgs)

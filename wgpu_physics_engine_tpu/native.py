@@ -57,6 +57,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.wpe_writer_open.restype = ctypes.c_void_p
     lib.wpe_writer_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, f32p,
                                       i64p, ctypes.c_int]
+    lib.wpe_writer_submit2.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_void_p, i64p, ctypes.c_int,
+                                       ctypes.c_char_p, ctypes.c_int]
     lib.wpe_writer_pending.argtypes = [ctypes.c_void_p]
     lib.wpe_writer_pending.restype = ctypes.c_int64
     lib.wpe_writer_close.argtypes = [ctypes.c_void_p]
@@ -135,17 +138,32 @@ def cloth_simulate(scene, pos: np.ndarray, vel: np.ndarray, dt: float,
 # ---------------------------------------------------------------------------
 
 class ShardWriter:
-    """Background-thread .npy writer for datagen egress."""
+    """Background-thread .npy writer for datagen egress.
+
+    Accepts any C-contiguous array of the dtypes below (uint8 is the
+    datagen default — device→host egress is 4× smaller than fp32)."""
+
+    _DESCR = {
+        np.dtype(np.float32): b"<f4", np.dtype(np.float64): b"<f8",
+        np.dtype(np.uint8): b"|u1", np.dtype(np.int32): b"<i4",
+        np.dtype(np.int64): b"<i8", np.dtype(np.uint32): b"<u4",
+        np.dtype(np.float16): b"<f2", np.dtype(np.bool_): b"|b1",
+    }
 
     def __init__(self):
         self._lib = _load()
         self._h = self._lib.wpe_writer_open()
 
     def submit(self, path: str, array: np.ndarray) -> None:
-        arr = np.ascontiguousarray(array, np.float32)
+        arr = np.ascontiguousarray(array)
+        descr = self._DESCR.get(arr.dtype)
+        if descr is None:
+            arr = np.ascontiguousarray(array, np.float32)
+            descr = b"<f4"
         shape = np.asarray(arr.shape, np.int64)
-        self._lib.wpe_writer_submit(self._h, path.encode(), arr.reshape(-1),
-                                    shape, arr.ndim)
+        self._lib.wpe_writer_submit2(
+            self._h, path.encode(), arr.ctypes.data_as(ctypes.c_void_p),
+            shape, arr.ndim, descr, arr.itemsize)
 
     def pending(self) -> int:
         return int(self._lib.wpe_writer_pending(self._h))

@@ -154,6 +154,13 @@ def generate_trajectory_dataset(
 
     ``world_chunk`` bounds device memory: worlds are processed in chunks of
     that size (default: all at once).
+
+    Transfer/compute overlap: frame f+1's step+render launch is DISPATCHED
+    before frame f's device buffers are fetched to the host, so the
+    device→host egress (the datagen bottleneck) rides behind the next
+    launch's compute instead of serializing with it. Note the yielded
+    ``batches`` therefore already hold frame f+1's state when frame f's
+    images are delivered.
     """
     import numpy as np
 
@@ -170,11 +177,17 @@ def generate_trajectory_dataset(
         else:
             cameras.append(camera or R.make_camera(cfg.CameraConfig(), aspect=1.0))
 
+    pending = None          # (frame_idx, [device image arrays per chunk])
     for f in range(n_frames):
-        imgs = []
+        imgs_dev = []
         for bi in range(len(batches)):
             batches[bi], im = step_and_render(
                 batches[bi], dt, steps_per_frame, cameras[bi], globe_tex,
                 fb_size=fb_size, use_pallas=use_pallas)
-            imgs.append(np.asarray(im))
-        yield f, np.concatenate(imgs, axis=0), batches
+            imgs_dev.append(im)      # async dispatch; no host sync here
+        if pending is not None:
+            pf, pdev = pending
+            yield pf, np.concatenate([np.asarray(x) for x in pdev], axis=0), batches
+        pending = (f, imgs_dev)
+    pf, pdev = pending
+    yield pf, np.concatenate([np.asarray(x) for x in pdev], axis=0), batches
