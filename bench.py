@@ -83,15 +83,22 @@ def main() -> None:
         except Exception as e:  # an impl failing must not kill the bench
             print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    value = max(results.values())
+    # headline = the fidelity-contract (exact sqrt) kernel; the rsqrt
+    # fast_math variant is reported as a secondary field, not the value
+    value = results.get("pallas", max(results.values()))
     for name, v in sorted(results.items(), key=lambda kv: -kv[1]):
         print(f"# {name}: {v:.3e} particle-steps/s", file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "particle-steps/sec/chip (256x256 cloth + sphere collide)",
         "value": value,
         "unit": "particle-steps/s",
         "vs_baseline": value / TARGET,
-    }))
+    }
+    if "pallas_fast" in results:
+        out["fast_math"] = results["pallas_fast"]
+    if "xla" in results:
+        out["xla"] = results["xla"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,10 +1,14 @@
 """Performance regression floor (SURVEY §4.6): particle-steps/sec/chip on
 the 256×256 cloth, asserted against a conservative floor.
 
-Runs ONLY when real TPU hardware is available (the suite itself defaults to
-the virtual CPU mesh, so the measurement happens in a clean subprocess):
+The suite itself runs on the virtual CPU mesh (conftest), so the
+measurement happens in a clean subprocess that keeps the TPU platform.
+The test runs automatically wherever the axon TPU tunnel is present
+(``PALLAS_AXON_POOL_IPS`` in the env — the harness's TPU indicator) and
+can be forced on/off with ``WPE_TPU_PERF=1`` / ``WPE_TPU_PERF=0``.
 
-    WPE_TPU_PERF=1 python -m pytest tests/test_perf_regression.py -q
+NOTE: never run two TPU processes concurrently (CLAUDE.md) — don't run
+this while another TPU job is in flight.
 """
 
 import os
@@ -24,19 +28,30 @@ c = eng.ClothConfig(height=256, width=256)
 params = eng.ClothParams.from_config(c)
 state = eng.init_cloth_state(c)
 dt = jnp.float32(1 / 480)
-np.asarray(cloth_pallas.multi_step(state, params, dt, 2000).pos)
+# 10k substeps so the ~46 ms fixed tunnel dispatch doesn't dominate
+np.asarray(cloth_pallas.multi_step(state, params, dt, 10_000).pos)
 best = float("inf")
 for t in range(3):
     st = state._replace(pos=state.pos + jnp.float32(t * 1e-3))
     t0 = time.time()
-    np.asarray(cloth_pallas.multi_step(st, params, dt, 2000).pos)
+    np.asarray(cloth_pallas.multi_step(st, params, dt, 10_000).pos)
     best = min(best, time.time() - t0)
-print("RATE", 256 * 256 * 2000 / best)
+print("RATE", 256 * 256 * 10_000 / best)
 """
 
 
-@pytest.mark.skipif(os.environ.get("WPE_TPU_PERF") != "1",
-                    reason="TPU perf test; set WPE_TPU_PERF=1 on a TPU host")
+def _tpu_available() -> bool:
+    """Detect the TPU environment WITHOUT initializing a jax backend in
+    this (CPU-forced) process: the harness exposes the axon tunnel via
+    PALLAS_AXON_POOL_IPS."""
+    flag = os.environ.get("WPE_TPU_PERF")
+    if flag is not None:
+        return flag == "1"
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+
+
+@pytest.mark.skipif(not _tpu_available(),
+                    reason="no TPU detected (set WPE_TPU_PERF=1 to force)")
 def test_cloth_kernel_regression_floor():
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     out = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
@@ -46,5 +61,6 @@ def test_cloth_kernel_regression_floor():
     assert out.returncode == 0, out.stderr[-2000:]
     rate = float([l for l in out.stdout.splitlines()
                   if l.startswith("RATE")][0].split()[1])
-    # measured ~1.8-2.2e9 on v5e; floor at the 1e9 BASELINE north star
+    # measured ~5.2e9 sustained on v5e (reads lower at short launches due
+    # to the fixed dispatch cost); floor at the 1e9 BASELINE north star
     assert rate >= 1.0e9, f"regression: {rate:.3e} particle-steps/s"

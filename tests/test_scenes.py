@@ -106,6 +106,32 @@ def test_checkpoint_roundtrip_scene_state(tmp_path):
     assert meta["sim_t"] == 0.25
 
 
+def test_checkpoint_mismatch_raises_named_error(tmp_path):
+    """Loading against a differently-shaped/structured `like` raises
+    CheckpointMismatchError, not an opaque unflatten failure."""
+    import pytest
+
+    s = scenes.ClothScene(config=cfg.ClothConfig(**SMALL), use_pallas=False)
+    path = str(tmp_path / "state.npz")
+    checkpoint.save(path, s.state)
+    # shape mismatch: a bigger grid
+    other = scenes.ClothScene(config=cfg.ClothConfig(height=16, width=16),
+                              use_pallas=False)
+    with pytest.raises(checkpoint.CheckpointMismatchError, match="pos"):
+        checkpoint.load(path, other.state)
+    # structure mismatch: a different pytree entirely
+    with pytest.raises(checkpoint.CheckpointMismatchError):
+        checkpoint.load(path, {"a": np.zeros(3), "b": np.zeros(4)})
+    # dtype mismatch
+    cast = jax.tree.map(lambda x: np.asarray(x, np.float64), s.state)
+    with pytest.raises(checkpoint.CheckpointMismatchError, match="float64"):
+        checkpoint.load(path, cast)
+    # non-strict load still works for matching state
+    restored, _ = checkpoint.load(path, s.state, strict=False)
+    np.testing.assert_array_equal(np.asarray(restored.pos),
+                                  np.asarray(s.state.pos))
+
+
 def test_cloth_scene_renders_both_materials():
     """Perceptual check: a draped cloth frame contains both the red cloth
     particles and visible globe pixels (depth compositing works)."""

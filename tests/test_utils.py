@@ -76,3 +76,48 @@ def test_ansi_frame_renders():
     s = viewer.ansi_frame(img, max_cols=16)
     assert "\x1b[38;2;255;0;0m" in s          # red foreground (top pixels)
     assert s.count("\n") == 7                 # 16 rows → 8 char lines
+
+
+def test_parse_keys_arrows_and_chars():
+    keys = viewer.parse_keys(b"\x1b[Aq+\x1b[D g")
+    assert keys == ["up", "q", "+", "left", " ", "g"]
+
+
+def test_live_key_dispatch_drives_scene():
+    """The live-loop key table steers orbit/zoom and the zero-retrace
+    sliders (the reference's mouse-orbit + egui inputs, cloth.rs:1383-1451,
+    1497-1499)."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.models import scenes
+
+    s = scenes.ClothScene(config=cfg.ClothConfig(height=4, width=4),
+                          use_pallas=False)
+    th0, r0 = s._orbit["theta"], s._orbit["radius"]
+    assert viewer.handle_key(s, "left") is None
+    assert s._orbit["theta"] == pytest.approx(th0 - 0.15)
+    viewer.handle_key(s, "up")
+    viewer.handle_key(s, "+")
+    assert s._orbit["radius"] < r0
+    g0 = float(np.asarray(s.params.gravity))
+    viewer.handle_key(s, "G")
+    assert float(np.asarray(s.params.gravity)) == pytest.approx(g0 * 1.1)
+    ts0 = s.time_scale
+    viewer.handle_key(s, "t")
+    assert s.time_scale == pytest.approx(ts0 * 0.8)
+    assert viewer.handle_key(s, " ") == "pause"
+    assert viewer.handle_key(s, "q") == "quit"
+    assert viewer.handle_key(s, "x") is None   # unbound key is a no-op
+
+
+def test_live_noninteractive_runs(capsys):
+    """live() with interactive=False streams frames and exits cleanly
+    (no tty required)."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.models import scenes
+
+    s = scenes.ClothScene(config=cfg.ClothConfig(height=4, width=4),
+                          use_pallas=False)
+    viewer.live(s, seconds=0.2, fps=10, size=(16, 16), max_cols=16,
+                interactive=False)
+    out = capsys.readouterr().out
+    assert "fps" in out and "\x1b[38;2;" in out

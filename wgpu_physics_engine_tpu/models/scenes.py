@@ -264,8 +264,12 @@ class ClothScene(_SceneBase):
             try:
                 from ..ops import cloth_pallas
                 return cloth_pallas.multi_step
-            except Exception:
-                pass
+            except Exception as e:
+                from ..utils.metrics import get_logger
+
+                get_logger().warning(
+                    "Pallas stepper unavailable (%s: %s); falling back to "
+                    "the XLA stencil path", type(e).__name__, e)
         return cloth.multi_step
 
     def update(self, delta_time: Optional[float] = None) -> None:

@@ -38,12 +38,42 @@ def save(path: str, pytree: Any, meta: dict | None = None) -> None:
             os.unlink(tmp)
 
 
-def load(path: str, like: Any) -> Tuple[Any, dict]:
+class CheckpointMismatchError(ValueError):
+    """The checkpoint's structure/shape/dtype doesn't match ``like``."""
+
+
+def load(path: str, like: Any, strict: bool = True) -> Tuple[Any, dict]:
     """Load a checkpoint saved by :func:`save`. ``like`` provides the pytree
-    structure (e.g. a freshly-initialized state). Returns (pytree, meta)."""
+    structure (e.g. a freshly-initialized state). Returns (pytree, meta).
+
+    With ``strict=True`` (default) the stored treedef and every leaf's
+    shape/dtype are validated against ``like``; a mismatch raises
+    :class:`CheckpointMismatchError` naming the offending leaf instead of
+    an opaque unflatten failure or silently wrong shapes."""
     with np.load(path) as z:
-        leaves_like, treedef = jax.tree.flatten(like)
-        n = len(leaves_like)
+        flat_like, treedef = jax.tree_util.tree_flatten_with_path(like)
+        n = len(flat_like)
+        if strict:
+            if "__treedef__" in z:
+                stored = bytes(z["__treedef__"]).decode()
+                if stored != str(treedef):
+                    raise CheckpointMismatchError(
+                        f"{path}: stored treedef\n  {stored}\n"
+                        f"does not match `like`\n  {treedef}")
+            n_stored = sum(1 for k in z.files if k.startswith("leaf_"))
+            if n_stored != n:
+                raise CheckpointMismatchError(
+                    f"{path}: {n_stored} stored leaves, `like` has {n}")
         leaves = [z[f"leaf_{i}"] for i in range(n)]
+        if strict:
+            for i, (kp, want) in enumerate(flat_like):
+                got = leaves[i]
+                want_shape = tuple(np.shape(want))
+                want_dtype = np.asarray(want).dtype
+                if tuple(got.shape) != want_shape or got.dtype != want_dtype:
+                    raise CheckpointMismatchError(
+                        f"{path}: leaf {jax.tree_util.keystr(kp)} is "
+                        f"{got.shape}/{got.dtype}, `like` expects "
+                        f"{want_shape}/{want_dtype}")
         meta = json.loads(bytes(z["__meta__"]).decode()) if "__meta__" in z else {}
     return jax.tree.unflatten(treedef, leaves), meta

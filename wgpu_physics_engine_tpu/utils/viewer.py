@@ -53,25 +53,122 @@ def ansi_frame(img: np.ndarray, max_cols: int = 80) -> str:
     return "\n".join(lines)
 
 
+def parse_keys(buf: bytes) -> list:
+    """Split raw terminal bytes into key tokens: 'up'/'down'/'left'/'right'
+    for the arrow escape sequences, else single characters."""
+    arrows = {b"A": "up", b"B": "down", b"C": "right", b"D": "left"}
+    keys, i = [], 0
+    while i < len(buf):
+        if buf[i:i + 1] == b"\x1b" and buf[i + 1:i + 2] == b"[" \
+                and buf[i + 2:i + 3] in arrows:
+            keys.append(arrows[buf[i + 2:i + 3]])
+            i += 3
+        else:
+            keys.append(chr(buf[i]))
+            i += 1
+    return keys
+
+
+def handle_key(scene, key: str):
+    """Apply one key to a scene — the live-loop equivalent of the
+    reference's mouse-orbit input + egui sliders (wgpu-bootstrap
+    OrbitCamera::input consumed at cloth.rs:1497-1499; panel at
+    cloth.rs:1383-1451). Returns 'quit', 'pause', or None.
+
+    Bindings: arrows orbit, +/- zoom, g/G gravity down/up 10%,
+    t/T time-scale, space pause, q quit."""
+    if key == "left":
+        scene.orbit(d_theta=-0.15)
+    elif key == "right":
+        scene.orbit(d_theta=0.15)
+    elif key == "up":
+        scene.orbit(d_phi=0.1)
+    elif key == "down":
+        scene.orbit(d_phi=-0.1)
+    elif key in "+=":
+        scene.orbit(d_radius=-0.1 * scene._orbit["radius"])
+    elif key in "-_":
+        scene.orbit(d_radius=0.1 * scene._orbit["radius"])
+    elif key in "gG" and hasattr(scene, "set_gravity"):
+        g = float(np.asarray(scene.params.gravity))
+        scene.set_gravity(g * (1.1 if key == "G" else 1 / 1.1))
+    elif key in "tT" and hasattr(scene, "set_time_scale"):
+        s = float(scene.time_scale)
+        scene.set_time_scale(s * (1.25 if key == "T" else 0.8))
+    elif key == " ":
+        return "pause"
+    elif key == "q":
+        return "quit"
+    return None
+
+
+_HELP = "arrows orbit  +/- zoom  g/G gravity  t/T speed  space pause  q quit"
+
+
 def live(scene, seconds: float = 5.0, fps: int = 10, size=(128, 128),
-         max_cols: int = 64) -> None:
-    """Interactive terminal viewer: runs the scene's update/render loop and
-    streams ANSI frames in place (the headless stand-in for the reference's
-    winit window)."""
+         max_cols: int = 64, interactive=None) -> None:
+    """Interactive terminal viewer: runs the scene's update/render loop,
+    streams ANSI frames in place, and (on a tty) reads non-blocking key
+    input — orbit/zoom/params while watching, the headless stand-in for
+    the reference's winit window + egui panel."""
+    import contextlib
+    import select
     import sys
     import time as _time
 
+    if interactive is None:
+        interactive = sys.stdin.isatty()
+
+    @contextlib.contextmanager
+    def _cbreak():
+        if not interactive:
+            yield
+            return
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        try:
+            tty.setcbreak(fd)
+            yield
+        finally:
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+    def _poll_keys():
+        if not interactive:
+            return []
+        keys = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            buf = os.read(sys.stdin.fileno(), 64)
+            if not buf:
+                break
+            keys.extend(parse_keys(buf))
+        return keys
+
     n = int(seconds * fps)
-    for i in range(n):
-        t0 = _time.time()
-        scene.update(1.0 / fps)
-        frame = ansi_frame(scene.render(*size), max_cols)
-        rows = frame.count("\n") + 1
-        if i:
-            sys.stdout.write(f"\x1b[{rows + 1}F")   # cursor back up
-        sys.stdout.write(frame + f"\nfps {scene.clock.fps:5.1f}\x1b[K\n")
-        sys.stdout.flush()
-        _time.sleep(max(0.0, 1.0 / fps - (_time.time() - t0)))
+    paused = False
+    with _cbreak():
+        for i in range(n):
+            t0 = _time.time()
+            for k in _poll_keys():
+                act = handle_key(scene, k)
+                if act == "pause":
+                    paused = not paused
+                elif act == "quit":
+                    return
+            if not paused:
+                scene.update(1.0 / fps)
+            frame = ansi_frame(scene.render(*size), max_cols)
+            rows = frame.count("\n") + 1
+            if i:
+                sys.stdout.write(f"\x1b[{rows + 1}F")   # cursor back up
+            status = f"fps {scene.clock.fps:5.1f}" + \
+                (" [paused]" if paused else "") + \
+                (f"  |  {_HELP}" if interactive else "")
+            sys.stdout.write(frame + f"\n{status}\x1b[K\n")
+            sys.stdout.flush()
+            _time.sleep(max(0.0, 1.0 / fps - (_time.time() - t0)))
 
 
 def record(scene, seconds: float, fps: int = 30, size=(256, 256),
