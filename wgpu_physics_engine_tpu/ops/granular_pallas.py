@@ -1,0 +1,294 @@
+"""Slab-DMA granular contact kernel (Pallas / Mosaic TPU).
+
+The XLA frozen-Verlet path (models/granular.py) is gather-bound: every
+substep reads ``N × max_neighbors`` data-dependent HBM indices (~6.6 ns
+each on v5e), and each rebuild pays ~4 s of window gathers + candidate
+compaction at 1M particles. This kernel removes the gathers entirely by
+exploiting **sorted-window monotonicity**:
+
+after sorting particles by linearized cell id, each of the 9 (dx, dy)
+neighbor-column groups maps particle ``i`` to ONE contiguous sorted-array
+range (its z-triple window), and window starts are monotone in ``i`` —
+so for a block of ``B`` consecutive sorted particles, each group's
+candidates all live in one contiguous slab of ``S ≈ B + margin`` sorted
+positions. The kernel DMAs the 9 slabs HBM→VMEM (contiguous, no gather)
+and evaluates contacts as dense masked ``[B, S]`` vector math on-chip.
+
+Per rebuild, the host-side XLA work shrinks to the sorted-grid build plus
+18 ``cell_start`` gathers (window starts/ends per group) — the expensive
+``[N, M]`` candidate compaction of ``broadphase.build_candidates`` is
+gone because the kernel consumes window *ranges*, not index lists.
+
+Workload mapping: this extends the reference's free-particle integrator
+(/root/reference/simulations/4_instances_imgui/compute_movement.wgsl:36-105
+— gravity + wall reflect, no interactions) with particle-particle penalty
+contact at BASELINE configs[2] scale, with semantics identical to
+models/granular._frozen_substep.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import broadphase
+
+_EPS = 1e-6
+
+_OFFSETS_XY = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+_NG = 9          # (dx, dy) neighbor-column groups
+_NGP = 16        # group axis padded to a sublane-friendly width
+
+# Param vector layout (SMEM f32):
+# 0:min_dist 1:k_contact 2:gravity 3:dt 4:restitution 5:wall_limit
+_NP = 6
+
+
+def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
+                  block: int, slab: int, n_pad: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray]:
+    """Per-particle window ranges + per-block slab offsets (XLA, rebuild
+    time).
+
+    For each sorted particle and each (dx, dy) group: the z-triple window
+    ``[start, end)`` into the sorted arrays (exactly the ranges
+    ``broadphase.pair_forces_sorted`` scans, but kept as ranges). Group
+    cells outside the grid get empty windows — mirroring the ``okxy``
+    masking there, which also prevents boundary-clamp duplicates.
+
+    Returns ``(windows [n_pad, 2*_NGP] int32, slab_start [nb, _NG] int32,
+    dropped int32, order-pad n)`` where ``windows[:, g]`` = start of group
+    g, ``windows[:, _NGP+g]`` = end; ``slab_start[b, g]`` is 128-aligned
+    and ``dropped`` counts window entries beyond ``slab_start + slab``
+    (the kernel never sees them — nonzero means ``slab`` is undersized
+    for this density).
+    """
+    n = grid.sorted_cid.shape[0]
+    d0, d1, d2 = spec.dims
+    cid = grid.sorted_cid.astype(jnp.int32)
+    cx = cid // (d1 * d2)
+    rem = cid - cx * (d1 * d2)
+    cy = rem // d2
+    cz = rem - cy * d2
+    ncz0 = jnp.maximum(cz - 1, 0)
+    zspan = jnp.minimum(cz + 2, d2) - ncz0
+
+    starts = []
+    ends = []
+    for dx, dy in _OFFSETS_XY:
+        okxy = ((cx + dx >= 0) & (cx + dx < d0) &
+                (cy + dy >= 0) & (cy + dy < d1))
+        ncx = jnp.clip(cx + dx, 0, d0 - 1)
+        ncy = jnp.clip(cy + dy, 0, d1 - 1)
+        c0 = (ncx * d1 + ncy) * d2 + ncz0
+        s = grid.cell_start[c0]
+        e = grid.cell_start[c0 + zspan]
+        starts.append(jnp.where(okxy, s, 0))
+        ends.append(jnp.where(okxy, e, 0))
+    starts = jnp.stack(starts, axis=-1)                  # [n, 9]
+    ends = jnp.stack(ends, axis=-1)
+
+    pad = n_pad - n
+    starts = jnp.pad(starts, ((0, pad), (0, _NGP - _NG)))
+    ends = jnp.pad(ends, ((0, pad), (0, _NGP - _NG)))
+
+    nb = n_pad // block
+    sblk = starts[:, :_NG].reshape(nb, block, _NG)
+    eblk = ends[:, :_NG].reshape(nb, block, _NG)
+    smin = jnp.min(sblk, axis=1)                          # [nb, 9]
+    emax = jnp.max(eblk, axis=1)
+    # Slab A anchors the head of the block's window hull. When the block
+    # straddles an (x, y) cell-column boundary the hull is far wider than
+    # one slab — but the windows themselves cluster at its two ENDS (the
+    # jump is a discontinuity, not a spread), so slab B anchored at the
+    # tail covers the rest. offb == offa signals "B not needed".
+    offa = jnp.clip((smin // 128) * 128, 0, n_pad - slab)
+    offb_raw = jnp.clip(((emax - slab + 127) // 128) * 128, 0, n_pad - slab)
+    need_b = emax > offa + slab
+    offb = jnp.where(need_b, offb_raw, offa)
+    # telemetry: window entries in the A-B gap or beyond B's end are
+    # invisible to the kernel
+    offa_e = offa[:, None, :]
+    offb_e = offb[:, None, :]
+    gap = jnp.maximum(
+        jnp.minimum(eblk, offb_e) - jnp.maximum(sblk, offa_e + slab), 0)
+    beyond = jnp.maximum(eblk - (offb_e + slab), 0)
+    dropped = jnp.sum(gap + beyond, dtype=jnp.int32)
+    windows = jnp.concatenate([starts, ends], axis=-1)    # [n_pad, 32]
+    # flat [nb*9*2] (a, b interleaved) so the SMEM prefetch operand isn't
+    # lane-padded to 128
+    off = jnp.stack([offa, offb], axis=-1).astype(jnp.int32)
+    return windows, off.reshape(-1), dropped
+
+
+def _kernel(slab_ref, params_ref, pos3_hbm, posc_blk, velc_blk, win_blk,
+            posc_out, velc_out, slabs, facc, sems, *, block, slab, n_real):
+    """One granular substep for sorted-block ``b = program_id(0)``.
+
+    All per-particle quantities live as ``[B, 1]`` columns, slab
+    candidates as ``[1, S]`` rows; pair math is dense masked ``[B, S]``.
+    Per group: slab A always; slab B (DMA + pass, accumulated into the
+    ``facc`` scratch) only when the block's window hull overflows A —
+    predicated with ``pl.when`` so non-straddling blocks pay nothing.
+    Physics op order matches models/granular._frozen_substep exactly:
+    pair penalty forces -> gravity -> Euler -> wall clamp & reflect.
+    """
+    b = pl.program_id(0)
+
+    dmas = []
+    for g in range(_NG):
+        offa = pl.multiple_of(slab_ref[(b * _NG + g) * 2], 128)
+        offb = pl.multiple_of(slab_ref[(b * _NG + g) * 2 + 1], 128)
+        # full 4-row slices: Mosaic requires sublane-aligned DMA slices,
+        # so the coordinate planes ride in a [4, Np] array (row 3 unused)
+        cpa = pltpu.make_async_copy(
+            pos3_hbm.at[:, pl.ds(offa, slab)], slabs.at[g, 0], sems.at[g, 0])
+        cpa.start()
+        cpb = pltpu.make_async_copy(
+            pos3_hbm.at[:, pl.ds(offb, slab)], slabs.at[g, 1], sems.at[g, 1])
+
+        @pl.when(offb > offa)
+        def _start_b(cpb=cpb):
+            cpb.start()
+
+        dmas.append((cpa, cpb))
+
+    min_dist = params_ref[0]
+    k_contact = params_ref[1]
+    gravity = params_ref[2]
+    dt = params_ref[3]
+    restitution = params_ref[4]
+    limit = params_ref[5]
+
+    px = posc_blk[:, 0:1]
+    py = posc_blk[:, 1:2]
+    pz = posc_blk[:, 2:3]
+    selfs = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    alive = selfs < n_real
+
+    fx = jnp.zeros((block, 1), jnp.float32)
+    fy = jnp.zeros((block, 1), jnp.float32)
+    fz = jnp.zeros((block, 1), jnp.float32)
+    facc[...] = jnp.zeros((block, 4), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
+
+    def pair_sums(qx, qy, qz, jg, s_g, e_g, lo):
+        """Masked penalty-force sums of one slab pass; ``lo`` drops
+        candidates below it (B pass: everything A already covered)."""
+        valid = (jg >= s_g) & (jg < e_g) & (jg >= lo) & (jg != selfs)
+        dx = px - qx
+        dy = py - qy
+        dz = pz - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        touching = valid & (d2 < min_dist * min_dist) & (d2 > _EPS * _EPS)
+        dist = jnp.sqrt(d2)
+        inv = 1.0 / jnp.where(d2 > _EPS * _EPS, dist, 1.0)
+        w = jnp.where(touching, k_contact * (min_dist - dist) * inv, 0.0)
+        return (jnp.sum(w * dx, axis=1, keepdims=True),
+                jnp.sum(w * dy, axis=1, keepdims=True),
+                jnp.sum(w * dz, axis=1, keepdims=True))
+
+    for g in range(_NG):
+        cpa, cpb = dmas[g]
+        offa = slab_ref[(b * _NG + g) * 2]
+        offb = slab_ref[(b * _NG + g) * 2 + 1]
+        s_g = win_blk[:, g:g + 1]                        # [B, 1]
+        e_g = win_blk[:, _NGP + g:_NGP + g + 1]
+        cpa.wait()
+        sx, sy, sz = pair_sums(
+            slabs[g, 0, 0:1, :], slabs[g, 0, 1:2, :], slabs[g, 0, 2:3, :],
+            lane + offa, s_g, e_g, jnp.int32(0))
+        fx = fx + sx
+        fy = fy + sy
+        fz = fz + sz
+
+        @pl.when(offb > offa)
+        def _pass_b(cpb=cpb, g=g, offa=offa, offb=offb, s_g=s_g, e_g=e_g):
+            cpb.wait()
+            bx, by, bz = pair_sums(
+                slabs[g, 1, 0:1, :], slabs[g, 1, 1:2, :],
+                slabs[g, 1, 2:3, :], lane + offb, s_g, e_g, offa + slab)
+            facc[:, 0:1] += bx
+            facc[:, 1:2] += by
+            facc[:, 2:3] += bz
+
+    fx = fx + facc[:, 0:1]
+    fy = fy + facc[:, 1:2]
+    fz = fz + facc[:, 2:3]
+    fy = fy + gravity                                    # unit mass
+
+    vx = velc_blk[:, 0:1] + fx * dt
+    vy = velc_blk[:, 1:2] + fy * dt
+    vz = velc_blk[:, 2:3] + fz * dt
+    nx = px + vx * dt
+    ny = py + vy * dt
+    nz = pz + vz * dt
+
+    def wall(p, v):
+        hit = ((p < -limit) & (v < 0.0)) | ((p > limit) & (v > 0.0))
+        return jnp.clip(p, -limit, limit), jnp.where(hit, -restitution * v, v)
+
+    nx, vx = wall(nx, vx)
+    ny, vy = wall(ny, vy)
+    nz, vz = wall(nz, vz)
+
+    posc_out[:, 0:1] = jnp.where(alive, nx, px)
+    posc_out[:, 1:2] = jnp.where(alive, ny, py)
+    posc_out[:, 2:3] = jnp.where(alive, nz, pz)
+    velc_out[:, 0:1] = jnp.where(alive, vx, velc_blk[:, 0:1])
+    velc_out[:, 1:2] = jnp.where(alive, vy, velc_blk[:, 1:2])
+    velc_out[:, 2:3] = jnp.where(alive, vz, velc_blk[:, 2:3])
+
+
+def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
+                   windows: jnp.ndarray, slab_start: jnp.ndarray,
+                   params_vec: jnp.ndarray, *, block: int, slab: int,
+                   n_real: int, interpret: bool
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One substep on padded SORTED state. ``pos3`` [4, Np] (DMA slab
+    source; rows x/y/z + one dead alignment row), ``posc``/``velc``
+    [Np, 3] (per-particle columns), ``windows`` [Np, 2*_NGP] int32,
+    ``slab_start`` [Np//block, _NG] int32 (scalar prefetch). Returns new
+    ``(posc, velc)``; the caller re-derives pos3.
+    """
+    n_pad = posc.shape[0]
+    nb = n_pad // block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # params
+            pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
+            pl.BlockSpec((block, 3), lambda b, *_: (b, 0)),
+            pl.BlockSpec((block, 3), lambda b, *_: (b, 0)),
+            pl.BlockSpec((block, 2 * _NGP), lambda b, *_: (b, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, 3), lambda b, *_: (b, 0)),
+            pl.BlockSpec((block, 3), lambda b, *_: (b, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_NG, 2, 4, slab), jnp.float32),
+            pltpu.VMEM((block, 4), jnp.float32),
+            pltpu.SemaphoreType.DMA((_NG, 2)),
+        ],
+    )
+    kernel = functools.partial(_kernel, block=block, slab=slab,
+                               n_real=n_real)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(slab_start, params_vec, pos3, posc, velc, windows)
