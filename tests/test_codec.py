@@ -1,0 +1,104 @@
+"""Fixed-rate DCT codec (parallel/codec.py): round-trip fidelity, shapes,
+and datagen integration. The codec exists for datagen egress (the reference
+has no export path; SURVEY §2 C2 is a single interactive window)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wgpu_physics_engine_tpu.parallel import codec
+
+
+def _smooth_image(h=64, w=64, seed=0):
+    """Smooth synthetic frame (renderered framebuffers are smooth)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([
+        128 + 100 * np.sin(2 * np.pi * xx / w + c) * np.cos(2 * np.pi * yy / h)
+        for c in range(3)
+    ], axis=-1)
+    img += rng.normal(0, 2.0, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_shapes_and_dtype():
+    img = _smooth_image(64, 96)
+    enc = codec.encode(jnp.asarray(img), k=16)
+    assert enc.shape == (8, 12, 3, 16)
+    assert enc.dtype == jnp.int8
+    # batched (datagen layout [B, H, W, C])
+    batch = jnp.stack([jnp.asarray(img)] * 4)
+    encb = codec.encode(batch, k=10)
+    assert encb.shape == (4, 8, 12, 3, 10)
+    # per-image encode matches the batched encode
+    np.testing.assert_array_equal(np.asarray(encb[0]), np.asarray(enc[..., :10]))
+
+
+def test_roundtrip_psnr_smooth():
+    img = _smooth_image()
+    for k, floor in [(8, 28.0), (16, 32.0), (32, 36.0)]:
+        enc = codec.encode(jnp.asarray(img), k=k)
+        dec = codec.decode(np.asarray(enc))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        p = codec.psnr(img, dec)
+        assert p > floor, f"k={k}: PSNR {p:.1f} dB < {floor}"
+
+
+def test_k64_near_lossless_smooth():
+    """All 64 coefficients kept: only quantization error remains, which the
+    JPEG table bounds tightly at low frequencies on smooth content."""
+    img = _smooth_image()
+    dec = codec.decode(np.asarray(codec.encode(jnp.asarray(img), k=64)))
+    assert codec.psnr(img, dec) > 38.0
+
+
+def test_flat_image_near_exact():
+    """A constant image is a DC-only block: round-trips to within the DC
+    quantization step (16/8 = 2 gray levels)."""
+    img = np.full((32, 32, 3), 77, np.uint8)
+    dec = codec.decode(np.asarray(codec.encode(jnp.asarray(img), k=4)))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+    assert (dec == dec.flat[0]).all()       # still perfectly flat
+
+
+def test_compression_ratio():
+    img = _smooth_image(256, 256)
+    enc = np.asarray(codec.encode(jnp.asarray(img), k=16))
+    assert img.nbytes / enc.nbytes == 4.0   # 64/16
+
+
+def test_quality_knob_monotone():
+    img = _smooth_image()
+    coarse = codec.decode(np.asarray(codec.encode(jnp.asarray(img), k=32,
+                                                  quality=4.0)), quality=4.0)
+    fine = codec.decode(np.asarray(codec.encode(jnp.asarray(img), k=32,
+                                                quality=1.0)), quality=1.0)
+    assert codec.psnr(img, fine) > codec.psnr(img, coarse)
+
+
+def test_datagen_codec_integration():
+    """End-to-end: generate_trajectory_dataset(codec_k=...) yields int8
+    coefficient tensors that decode to plausible frames."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.parallel import datagen
+
+    c = cfg.ClothConfig(height=8, width=8)
+    gen = datagen.generate_trajectory_dataset(
+        c, n_worlds=2, n_frames=2, steps_per_frame=2,
+        key=jax.random.key(0), fb_size=(32, 32), use_pallas=False,
+        codec_k=12)
+    frames = list(gen)
+    assert len(frames) == 2
+    for f, enc, _ in frames:
+        assert enc.shape == (2, 4, 4, 3, 12) and enc.dtype == np.int8
+        dec = codec.decode(enc)
+        assert dec.shape == (2, 32, 32, 3)
+        assert dec.std() > 1.0          # not a blank frame
+
+
+def test_zigzag_is_permutation():
+    zz = codec._zigzag_order()
+    assert sorted(zz.tolist()) == list(range(64))
+    # standard JPEG zigzag prefix
+    assert zz[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]

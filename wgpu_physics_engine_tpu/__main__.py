@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     p.add_argument("--outdir", default="datagen_out")
     p.add_argument("--random-cameras", action="store_true",
                    help="datagen: randomize viewpoint per world")
+    p.add_argument("--codec-k", type=int, default=None, metavar="K",
+                   help="datagen: compress frames on device with the "
+                        "fixed-rate DCT codec, keeping K of 64 coefficients "
+                        "(64/K x less egress; decode with parallel.codec)")
     args = p.parse_args(argv)
 
     from .core import config as cfg
@@ -57,7 +61,7 @@ def main(argv=None) -> int:
         gen = datagen.generate_trajectory_dataset(
             c, n_worlds=args.worlds, n_frames=args.frames, steps_per_frame=24,
             key=jax.random.key(0), fb_size=tuple(args.size),
-            randomize_cameras=args.random_cameras)
+            randomize_cameras=args.random_cameras, codec_k=args.codec_k)
         os.makedirs(args.outdir, exist_ok=True)
         writer = native.ShardWriter() if native.available() else None
         n = 0

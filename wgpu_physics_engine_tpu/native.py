@@ -148,6 +148,7 @@ class ShardWriter:
         np.dtype(np.uint8): b"|u1", np.dtype(np.int32): b"<i4",
         np.dtype(np.int64): b"<i8", np.dtype(np.uint32): b"<u4",
         np.dtype(np.float16): b"<f2", np.dtype(np.bool_): b"|b1",
+        np.dtype(np.int8): b"|i1", np.dtype(np.int16): b"<i2",
     }
 
     def __init__(self):

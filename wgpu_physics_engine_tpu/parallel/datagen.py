@@ -149,11 +149,18 @@ def generate_trajectory_dataset(
     world_chunk: Optional[int] = None,
     use_pallas: bool = True,
     randomize_cameras: bool = False,
+    codec_k: Optional[int] = None,
 ):
-    """Yield (frame_idx, images [B, h, w, 3], batch) host-side per frame.
+    """Yield (frame_idx, images, batch) host-side per frame.
 
     ``world_chunk`` bounds device memory: worlds are processed in chunks of
     that size (default: all at once).
+
+    ``codec_k``: if set, frames are compressed ON DEVICE with the fixed-rate
+    DCT codec (:mod:`..parallel.codec`) before fetch — yielded arrays are
+    ``[B, h/8, w/8, 3, codec_k]`` int8 (64/k× less egress; decode with
+    :func:`codec.decode`). Egress is the datagen bottleneck, so this is the
+    lever when the host link, not the chip, is the wall.
 
     Transfer/compute overlap: frame f+1's step+render launch is DISPATCHED
     before frame f's device buffers are fetched to the host, so the
@@ -177,6 +184,9 @@ def generate_trajectory_dataset(
         else:
             cameras.append(camera or R.make_camera(cfg.CameraConfig(), aspect=1.0))
 
+    if codec_k is not None:
+        from . import codec as _codec
+
     pending = None          # (frame_idx, [device image arrays per chunk])
     for f in range(n_frames):
         imgs_dev = []
@@ -184,6 +194,8 @@ def generate_trajectory_dataset(
             batches[bi], im = step_and_render(
                 batches[bi], dt, steps_per_frame, cameras[bi], globe_tex,
                 fb_size=fb_size, use_pallas=use_pallas)
+            if codec_k is not None:
+                im = _codec.encode(im, k=codec_k)
             imgs_dev.append(im)      # async dispatch; no host sync here
         if pending is not None:
             pf, pdev = pending
