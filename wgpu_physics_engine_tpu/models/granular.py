@@ -52,8 +52,8 @@ class GranularConfig:
     skin: Optional[float] = None     # Verlet skin; default 2·radius
     max_neighbors: int = 48          # frozen-list width
     rebuild_every: int = 8           # substeps per neighbor-list rebuild
-    pallas_block: int = 256          # sorted particles per kernel block
-    pallas_slab: int = 768           # slab width (candidates per group)
+    pallas_block: int = 128          # sorted particles per kernel block
+    pallas_slab: int = 384           # slab width (candidates per group)
 
     @property
     def skin_value(self) -> float:

@@ -62,12 +62,12 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     cells outside the grid get empty windows — mirroring the ``okxy``
     masking there, which also prevents boundary-clamp duplicates.
 
-    Returns ``(windows [n_pad, 2*_NGP] int32, slab_start [nb, _NG] int32,
-    dropped int32, order-pad n)`` where ``windows[:, g]`` = start of group
-    g, ``windows[:, _NGP+g]`` = end; ``slab_start[b, g]`` is 128-aligned
-    and ``dropped`` counts window entries beyond ``slab_start + slab``
-    (the kernel never sees them — nonzero means ``slab`` is undersized
-    for this density).
+    Returns ``(windows [n_pad, 2*_NGP] int32, slab_start [nb, 2*_NG]
+    int32, dropped int32)`` where ``windows[:, g]`` = start of group g,
+    ``windows[:, _NGP+g]`` = end; ``slab_start[b, 2g]``/``[b, 2g+1]`` are
+    the 128-aligned A/B slab offsets of group g and ``dropped`` counts
+    window entries outside both slabs (the kernel never sees them —
+    nonzero means ``slab`` is undersized for this density).
     """
     n = grid.sorted_cid.shape[0]
     d0, d1, d2 = spec.dims
@@ -81,6 +81,7 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
 
     starts = []
     ends = []
+    slot = jnp.arange(n, dtype=jnp.int32)
     for dx, dy in _OFFSETS_XY:
         okxy = ((cx + dx >= 0) & (cx + dx < d0) &
                 (cy + dy >= 0) & (cy + dy < d1))
@@ -89,18 +90,32 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
         c0 = (ncx * d1 + ncy) * d2 + ncz0
         s = grid.cell_start[c0]
         e = grid.cell_start[c0 + zspan]
-        starts.append(jnp.where(okxy, s, 0))
-        ends.append(jnp.where(okxy, e, 0))
+        # empty windows (group cell off-grid) anchor at the particle's OWN
+        # slot, not 0: [i, i) is just as empty but keeps the block's
+        # window hull tight, so boundary blocks don't drag slab A to the
+        # array head and burn slab B on the real candidates
+        starts.append(jnp.where(okxy, s, slot))
+        ends.append(jnp.where(okxy, e, slot))
     starts = jnp.stack(starts, axis=-1)                  # [n, 9]
     ends = jnp.stack(ends, axis=-1)
-
     pad = n_pad - n
-    starts = jnp.pad(starts, ((0, pad), (0, _NGP - _NG)))
-    ends = jnp.pad(ends, ((0, pad), (0, _NGP - _NG)))
-
     nb = n_pad // block
-    sblk = starts[:, :_NG].reshape(nb, block, _NG)
-    eblk = ends[:, :_NG].reshape(nb, block, _NG)
+
+    # ---- slab offsets + drop telemetry, on BARRIER-ISOLATED copies ----
+    # When these reductions share their input buffers/layout with the
+    # pallas operands built below, XLA-on-TPU miscompiles them at some
+    # shapes (observed at block=256, N >= 1.5M: the last block's emax
+    # collapses, slab B is skipped, and its real candidates are silently
+    # dropped). The barrier blocks CSE/layout unification so the
+    # reduction path compiles against naturally-laid-out arrays; verified
+    # bit-exact against NumPy at the failing shapes after this change.
+    sr, er = jax.lax.optimization_barrier((starts, ends))
+    # pad rows hold the empty window [n, n): keeps the last block's hull
+    # at the array tail instead of dragging smin to 0
+    sblk = jnp.pad(sr, ((0, pad), (0, 0)),
+                   constant_values=n).reshape(nb, block, _NG)
+    eblk = jnp.pad(er, ((0, pad), (0, 0)),
+                   constant_values=n).reshape(nb, block, _NG)
     smin = jnp.min(sblk, axis=1)                          # [nb, 9]
     emax = jnp.max(eblk, axis=1)
     # Slab A anchors the head of the block's window hull. When the block
@@ -118,16 +133,31 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     offb_e = offb[:, None, :]
     gap = jnp.maximum(
         jnp.minimum(eblk, offb_e) - jnp.maximum(sblk, offa_e + slab), 0)
-    beyond = jnp.maximum(eblk - (offb_e + slab), 0)
-    dropped = jnp.sum(gap + beyond, dtype=jnp.int32)
+    beyond = jnp.maximum(eblk - jnp.maximum(sblk, offb_e + slab), 0)
+    # float32 accumulation then saturate: a badly undersized slab at high
+    # density can exceed 2^31 entries and an int32 sum would wrap negative
+    dropped = jnp.sum(gap + beyond, dtype=jnp.float32)
+    dropped = jnp.minimum(dropped, jnp.float32(2**31 - 128)).astype(jnp.int32)
+
+    # ---- kernel operands ----
+    # pad rows/columns hold the empty window [n, n) (columns 9..15 are
+    # alignment only, never read)
+    starts = jnp.pad(starts, ((0, pad), (0, _NGP - _NG)), constant_values=n)
+    ends = jnp.pad(ends, ((0, pad), (0, _NGP - _NG)), constant_values=n)
     windows = jnp.concatenate([starts, ends], axis=-1)    # [n_pad, 32]
-    # flat [nb*9*2] (a, b interleaved) so the SMEM prefetch operand isn't
-    # lane-padded to 128
+    # [nb_pad8, 18] (a, b interleaved per group): consumed as PER-BLOCK
+    # SMEM rows (blocks of 8 — Mosaic's sublane granularity), NOT scalar
+    # prefetch — a flat prefetch operand grows with nb and silently
+    # corrupts memory past ~512 KB of SMEM (v5e), seen at N=1M with
+    # block=128 / N=2M with block=256
     off = jnp.stack([offa, offb], axis=-1).astype(jnp.int32)
-    return windows, off.reshape(-1), dropped
+    off = off.reshape(off.shape[0], -1)
+    pad8 = (-off.shape[0]) % 8
+    off = jnp.pad(off, ((0, pad8), (0, 0)))
+    return windows, off, dropped
 
 
-def _kernel(slab_ref, params_ref, pos3_hbm, posc_blk, velc_blk, win_blk,
+def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
             posc_out, velc_out, slabs, facc, sems, *, block, slab, n_real):
     """One granular substep for sorted-block ``b = program_id(0)``.
 
@@ -136,15 +166,18 @@ def _kernel(slab_ref, params_ref, pos3_hbm, posc_blk, velc_blk, win_blk,
     Per group: slab A always; slab B (DMA + pass, accumulated into the
     ``facc`` scratch) only when the block's window hull overflows A —
     predicated with ``pl.when`` so non-straddling blocks pay nothing.
+    ``slab_ref`` is this block's [1, 18] slab-offset row in SMEM (a
+    per-block input — never a monolithic scalar-prefetch array, which
+    overflows SMEM beyond ~7.3k blocks and corrupts memory silently).
     Physics op order matches models/granular._frozen_substep exactly:
     pair penalty forces -> gravity -> Euler -> wall clamp & reflect.
     """
     b = pl.program_id(0)
-
+    row = jax.lax.rem(b, 8)         # slab_ref holds 8 blocks' offset rows
     dmas = []
     for g in range(_NG):
-        offa = pl.multiple_of(slab_ref[(b * _NG + g) * 2], 128)
-        offb = pl.multiple_of(slab_ref[(b * _NG + g) * 2 + 1], 128)
+        offa = pl.multiple_of(slab_ref[row, g * 2], 128)
+        offb = pl.multiple_of(slab_ref[row, g * 2 + 1], 128)
         # full 4-row slices: Mosaic requires sublane-aligned DMA slices,
         # so the coordinate planes ride in a [4, Np] array (row 3 unused)
         cpa = pltpu.make_async_copy(
@@ -196,8 +229,8 @@ def _kernel(slab_ref, params_ref, pos3_hbm, posc_blk, velc_blk, win_blk,
 
     for g in range(_NG):
         cpa, cpb = dmas[g]
-        offa = slab_ref[(b * _NG + g) * 2]
-        offb = slab_ref[(b * _NG + g) * 2 + 1]
+        offa = slab_ref[row, g * 2]
+        offb = slab_ref[row, g * 2 + 1]
         s_g = win_blk[:, g:g + 1]                        # [B, 1]
         e_g = win_blk[:, _NGP + g:_NGP + g + 1]
         cpa.wait()
@@ -254,36 +287,38 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
     """One substep on padded SORTED state. ``pos3`` [4, Np] (DMA slab
     source; rows x/y/z + one dead alignment row), ``posc``/``velc``
     [Np, 3] (per-particle columns), ``windows`` [Np, 2*_NGP] int32,
-    ``slab_start`` [Np//block, _NG] int32 (scalar prefetch). Returns new
-    ``(posc, velc)``; the caller re-derives pos3.
+    ``slab_start`` [Np//block, 2*_NG] int32 (per-block SMEM rows).
+    Returns new ``(posc, velc)``; the caller re-derives pos3.
     """
     n_pad = posc.shape[0]
     nb = n_pad // block
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    kernel = functools.partial(_kernel, block=block, slab=slab,
+                               n_real=n_real)
+    return pl.pallas_call(
+        kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # params
             pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
-            pl.BlockSpec((block, 3), lambda b, *_: (b, 0)),
-            pl.BlockSpec((block, 3), lambda b, *_: (b, 0)),
-            pl.BlockSpec((block, 2 * _NGP), lambda b, *_: (b, 0)),
+            pl.BlockSpec((block, 3), lambda b: (b, 0)),
+            pl.BlockSpec((block, 3), lambda b: (b, 0)),
+            pl.BlockSpec((block, 2 * _NGP), lambda b: (b, 0)),
+            # slab offsets: an [8, 18] SMEM tile per 8 blocks — bounded
+            # SMEM at any N (a flat scalar-prefetch array overflows
+            # ~512 KB of SMEM past ~7.3k blocks and corrupts memory
+            # without error)
+            pl.BlockSpec((8, 2 * _NG), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((block, 3), lambda b, *_: (b, 0)),
-            pl.BlockSpec((block, 3), lambda b, *_: (b, 0)),
+            pl.BlockSpec((block, 3), lambda b: (b, 0)),
+            pl.BlockSpec((block, 3), lambda b: (b, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((_NG, 2, 4, slab), jnp.float32),
             pltpu.VMEM((block, 4), jnp.float32),
             pltpu.SemaphoreType.DMA((_NG, 2)),
         ],
-    )
-    kernel = functools.partial(_kernel, block=block, slab=slab,
-                               n_real=n_real)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
@@ -291,4 +326,4 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(slab_start, params_vec, pos3, posc, velc, windows)
+    )(params_vec, pos3, posc, velc, windows, slab_start)
