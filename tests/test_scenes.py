@@ -193,3 +193,25 @@ def test_datagen_randomize_cameras_path():
     _, imgs, _ = next(iter(gen))
     assert imgs.shape == (3, 16, 16, 3)
     assert not np.array_equal(imgs[0], imgs[1])
+
+
+def test_granular_scene_frame_contract():
+    """GranularScene: update/render/simulate contract + overflow telemetry
+    surface (no reference equivalent — BASELINE configs[2] scene)."""
+    import numpy as np
+    from wgpu_physics_engine_tpu.models.granular import GranularConfig
+
+    s = scenes.GranularScene(config=GranularConfig(num_particles=400,
+                                                   bounds=3.0, radius=0.1))
+    y0 = float(np.asarray(s.state.pos[1]).mean())
+    s.update(1.0 / 30.0)
+    s.simulate(0.2)
+    assert float(np.asarray(s.state.pos[1]).mean()) < y0   # gravity acts
+    img = s.render(90, 120)
+    assert img.shape == (90, 120, 3) and np.isfinite(img).all()
+    assert img.std() > 0.01                                # box + particles
+    assert s.dropped == 0
+    assert s.instance_count == 400
+    s.set_time_scale(0.5)
+    s.reconfigure(k_contact=1000.0)
+    assert s.config.k_contact == 1000.0

@@ -6,6 +6,7 @@ artifacts, or benchmark.
     python -m wgpu_physics_engine_tpu textured    --out tex.png
     python -m wgpu_physics_engine_tpu globe       --out globe.png
     python -m wgpu_physics_engine_tpu particles   --seconds 4 --gif box.gif
+    python -m wgpu_physics_engine_tpu granular    --particles 100000 --gif pile.gif
     python -m wgpu_physics_engine_tpu cloth       --seconds 5 --gif cloth.gif
     python -m wgpu_physics_engine_tpu datagen     --worlds 64 --frames 8
 """
@@ -20,7 +21,7 @@ import time
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="wgpu_physics_engine_tpu")
     p.add_argument("scene", choices=["cube", "textured", "globe", "particles",
-                                     "cloth", "datagen"])
+                                     "granular", "cloth", "datagen"])
     p.add_argument("--out", default=None, help="PNG path for a single frame")
     p.add_argument("--gif", default=None, help="animated GIF path")
     p.add_argument("--live", action="store_true",
@@ -32,6 +33,8 @@ def main(argv=None) -> int:
                    metavar=("H", "W"))
     p.add_argument("--grid", type=int, default=None,
                    help="cloth particles per side (default 60)")
+    p.add_argument("--particles", type=int, default=None,
+                   help="granular: particle count (default 20000)")
     p.add_argument("--worlds", type=int, default=64)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--outdir", default="datagen_out")
@@ -89,6 +92,11 @@ def main(argv=None) -> int:
     elif args.scene == "particles":
         s = scenes.FreeParticleScene(
             config=cfg.FreeParticleConfig(num_particles=10))
+    elif args.scene == "granular":
+        from .models.granular import GranularConfig
+
+        s = scenes.GranularScene(
+            config=GranularConfig(num_particles=args.particles or 20_000))
     else:
         c = cfg.ClothConfig() if args.grid is None else cfg.ClothConfig(
             height=args.grid, width=args.grid)

@@ -13,6 +13,8 @@ Scenes:
 * :class:`GlobeScene`         — sim 3 (lit/textured UV sphere + light panel, C6)
 * :class:`FreeParticleScene`  — sim 4 (bouncing spheres in a wireframe box, C8)
 * :class:`ClothScene`         — sim 5 flagship (cloth over globe, C11)
+* :class:`GranularScene`      — sim 4 scaled to contact-resolved granular
+  piles (BASELINE configs[2]; no reference equivalent)
 """
 
 from __future__ import annotations
@@ -301,4 +303,73 @@ class ClothScene(_SceneBase):
 
     @property
     def instance_count(self) -> int:  # egui label (cloth.rs:1448)
+        return self.config.num_particles
+
+
+class GranularScene(_SceneBase):
+    """Granular pile: the free-particle box (sim 4, C8) scaled from 10 to
+    up to millions of spheres with real particle-particle contact via the
+    sorted-grid broad-phase + slab-DMA Pallas kernel (BASELINE configs[2]
+    — the reference's integrator has no interactions at all, see
+    /root/reference/simulations/4_instances_imgui/compute_movement.wgsl:36-105).
+
+    Physics parameters live in the static :class:`granular.GranularConfig`
+    (they shape the broad-phase grid, so changing them recompiles — use
+    :meth:`reconfigure`); ``time_scale`` is runtime-free like the other
+    scenes."""
+
+    def __init__(self, config=None,
+                 camera_cfg=None, light=cfg.LightConfig(),
+                 aspect=800 / 600, seed: int = 0):
+        from . import granular
+
+        self._granular = granular
+        config = config or granular.GranularConfig(num_particles=20_000)
+        camera_cfg = camera_cfg or cfg.CameraConfig(
+            radius=3.2 * config.bounds, phi=0.35, theta=0.4)
+        super().__init__(camera_cfg, light, aspect)
+        self.config = config
+        self.state = granular.init_state(config, jax.random.key(seed))
+        self.time_scale = 1.0
+        self.hz = 240.0
+        self.dropped = 0              # broad-phase overflow telemetry
+
+    def set_time_scale(self, s: float) -> None:
+        self.time_scale = s
+
+    def reconfigure(self, **changes) -> None:
+        """Replace static physics config (recompiles; resets nothing)."""
+        self.config = dataclasses.replace(self.config, **changes)
+
+    def _advance(self, n: int) -> None:
+        self.state, d = self._granular.multi_step(
+            self.state, self.config, jnp.float32(1.0 / self.hz), n,
+            return_stats=True)
+        self.dropped = max(self.dropped, int(d))
+
+    def update(self, delta_time: Optional[float] = None) -> None:
+        dt = self.clock.tick()
+        if delta_time is not None:
+            dt = delta_time
+        self._advance(max(1, int(round(self.time_scale * dt * self.hz))))
+
+    def simulate(self, seconds: float, hz: Optional[float] = None) -> None:
+        """Run physics headless in one fused launch."""
+        if hz is not None:
+            self.hz = hz
+        self._advance(max(1, int(round(seconds * self.hz))))
+
+    def render(self, height: int = 600, width: int = 800) -> np.ndarray:
+        fb = R.clear(height, width)
+        cam = self.camera()
+        segs = jnp.asarray(R.geometry.wireframe_box(
+            float(self.config.bounds))).reshape(-1, 2, 3)
+        fb = R.draw_lines(fb, cam, segs, color=(0.0, 0.0, 1.0))
+        fb = R.draw_instanced_spheres(
+            fb, cam, self.state.pos.T, float(self.config.radius), self.light,
+            flat_color=(0.86, 0.65, 0.35))      # sand
+        return self._to_image(fb)
+
+    @property
+    def instance_count(self) -> int:
         return self.config.num_particles
