@@ -98,7 +98,30 @@ def main() -> None:
         out["fast_math"] = results["pallas_fast"]
     if "xla" in results:
         out["xla"] = results["xla"]
+    try:
+        out["granular_1m"] = _granular_rate()
+    except Exception as e:
+        print(f"# granular bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     print(json.dumps(out))
+
+
+def _granular_rate(n: int = 1_000_000, n_steps: int = 64) -> float:
+    """Secondary metric: end-to-end 1M-particle granular contact
+    (BASELINE configs[2] extension), slab-DMA Pallas kernel, default
+    rebuild-every-8 schedule."""
+    from wgpu_physics_engine_tpu.models import granular
+
+    cfg = granular.GranularConfig(num_particles=n)
+    state = granular.init_state(cfg, jax.random.PRNGKey(0))
+    dt = jnp.float32(1 / 240)
+    np.asarray(granular.multi_step(state, cfg, dt, n_steps).pos[:1, :1])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(granular.multi_step(state, cfg, dt, n_steps).pos[:1, :1])
+        best = min(best, time.time() - t0)
+    return n * n_steps / best
 
 
 if __name__ == "__main__":
