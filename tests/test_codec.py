@@ -102,3 +102,16 @@ def test_zigzag_is_permutation():
     assert sorted(zz.tolist()) == list(range(64))
     # standard JPEG zigzag prefix
     assert zz[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+
+def test_datagen_zero_frames():
+    """n_frames=0 yields nothing (regression: the transfer-overlap change
+    made the final flush unpack None)."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.parallel import datagen
+
+    gen = datagen.generate_trajectory_dataset(
+        cfg.ClothConfig(height=8, width=8), n_worlds=2, n_frames=0,
+        steps_per_frame=1, key=jax.random.key(0), fb_size=(16, 16),
+        use_pallas=False)
+    assert list(gen) == []

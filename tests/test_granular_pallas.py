@@ -104,3 +104,99 @@ def test_pallas_settles_in_box():
     limit = cfg.bounds - cfg.radius
     assert (np.abs(p) <= limit + 1e-4).all()
     assert p[1].mean() < 0.0
+
+
+def test_build_windows_invariants():
+    """Rebuild-product invariants behind the round-2 corruption fixes:
+    empty/pad windows anchor at their own slot (tight hulls, still empty),
+    slab offsets are 128-aligned, the drop telemetry is zero when slabs
+    cover every window, and the off rows are padded to sublane multiples."""
+    from wgpu_physics_engine_tpu.models import broadphase
+    from wgpu_physics_engine_tpu.ops import granular_pallas
+
+    cfg = granular.GranularConfig(num_particles=700, bounds=2.0, radius=0.08,
+                                  pallas_block=128, pallas_slab=512)
+    spec = cfg.grid_spec()
+    st = granular.init_state(cfg, jax.random.PRNGKey(3))
+    grid = broadphase.build_sorted_grid(st.pos, st.vel, spec)
+    n = 700
+    n_pad = -(-max(n, 512) // 128) * 128
+    w, off, dropped = granular_pallas.build_windows(grid, spec, 128, 512,
+                                                    n_pad)
+    w = np.asarray(w)
+    off = np.asarray(off)
+    starts, ends = w[:, :9], w[:, 16:25]
+    assert (ends >= starts).all()
+    assert ends.max() <= n
+    # pad rows hold the empty window [n, n)
+    assert (starts[n:] == n).all() and (ends[n:] == n).all()
+    # off: 128-aligned, in range, rows padded to a multiple of 8
+    assert off.shape == ((n_pad // 128 + 7) // 8 * 8, 18)
+    assert (off % 128 == 0).all()
+    assert off.min() >= 0 and off.max() <= n_pad - 512
+    # every nonempty window is covered by slab A or slab B here
+    assert int(dropped) == 0
+    nb = n_pad // 128
+    offs = off[:nb].reshape(nb, 9, 2)
+    for b in range(nb):
+        for g in range(9):
+            s = starts[b * 128:(b + 1) * 128, g]
+            e = ends[b * 128:(b + 1) * 128, g]
+            a0, b0 = offs[b, g]
+            nonempty = e > s
+            in_a = (s >= a0) & (e <= a0 + 512)
+            in_b = (s >= b0) & (e <= b0 + 512)
+            assert (in_a | in_b | ~nonempty).all()
+
+
+def test_dropped_counts_only_real_entries():
+    """The telemetry counts window ENTRIES outside the slabs, not raw
+    range arithmetic: a window fully past slab B contributes its width,
+    not (end - slab_end)."""
+    cfg = granular.GranularConfig(num_particles=600, bounds=2.0,
+                                  radius=0.08, pallas_block=128,
+                                  pallas_slab=512)
+    spec = cfg.grid_spec()
+    st = granular.init_state(cfg, jax.random.PRNGKey(4))
+    dt = jnp.float32(1 / 240)
+    # absurdly small slab on a second config: drops must appear but stay
+    # bounded by the total window entry count
+    cfg_small = granular.GranularConfig(num_particles=600, bounds=2.0,
+                                        radius=0.08, pallas_block=128,
+                                        pallas_slab=128)
+    _, d_small = granular.multi_step(st, cfg_small, dt, 2,
+                                     return_stats=True, backend="pallas")
+    _, d_ok = granular.multi_step(st, cfg, dt, 2,
+                                  return_stats=True, backend="pallas")
+    assert int(d_ok) == 0
+    # total candidate entries is far below 600 particles * 9 groups * 600
+    assert 0 <= int(d_small) < 600 * 9 * 600
+
+
+def test_cell_start_matches_searchsorted():
+    """build_sorted_grid's histogram+cumsum cell_start == the searchsorted
+    definition (the round-2 rebuild optimization must be exact)."""
+    from wgpu_physics_engine_tpu.models import broadphase
+
+    k = jax.random.PRNGKey(5)
+    pos = jax.random.uniform(k, (3, 3000), minval=-2.0, maxval=2.0)
+    spec = broadphase.GridSpec(origin=(-2.5,) * 3, cell_size=0.4,
+                               dims=(13, 13, 13))
+    grid = broadphase.build_sorted_grid(pos, jnp.zeros_like(pos), spec)
+    cells = jnp.arange(spec.num_cells + 3, dtype=grid.sorted_cid.dtype)
+    ref = jnp.searchsorted(grid.sorted_cid, cells, side="left")
+    np.testing.assert_array_equal(np.asarray(grid.cell_start),
+                                  np.asarray(ref))
+
+
+def test_tiny_n_with_slab_larger_than_block():
+    """n_pad must stay a multiple of pallas_block even when the slab is
+    the binding constraint (regression: n=100, block=256, slab=384 raised
+    a reshape error in build_windows)."""
+    cfg = granular.GranularConfig(num_particles=100, bounds=2.0,
+                                  radius=0.08, pallas_block=256,
+                                  pallas_slab=384)
+    st = granular.init_state(cfg, jax.random.PRNGKey(6))
+    out = granular.multi_step(st, cfg, jnp.float32(1 / 240), 3,
+                              backend="pallas")
+    assert np.isfinite(np.asarray(out.pos)).all()

@@ -117,7 +117,7 @@ def main(argv=None) -> int:
         viewer.save_gif(frames, args.gif, fps=args.fps)
         print(f"wrote {args.gif}: {n} frames in {time.time()-t0:.1f}s")
     else:
-        if args.scene in ("cloth", "particles"):
+        if args.scene in ("cloth", "particles", "granular"):
             if hasattr(s, "simulate"):
                 s.simulate(args.seconds)
             else:

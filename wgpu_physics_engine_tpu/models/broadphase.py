@@ -91,8 +91,41 @@ _OFFSETS = jnp.asarray(
 
 # 9 (dx, dy) offset groups; each covers the z-contiguous cell triple
 # [dz-1, dz, dz+1] as ONE sorted-array window.
-_OFFSETS_XY = jnp.asarray(
-    [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], jnp.int32)
+OFFSETS_XY = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def group_window_ranges(c: jnp.ndarray, spec: GridSpec,
+                        cell_start: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sorted-array window ranges of the 9 (dx, dy) neighbor-column groups.
+
+    ``c``: [3, N] integer cell coords (already clipped to the grid).
+    Returns ``(starts [N, 9], ends [N, 9], okxy [N, 9])`` where group
+    ``g``'s candidates for particle ``i`` are the sorted slots
+    ``[starts[i, g], ends[i, g])`` — the z-triple window — and
+    ``okxy[i, g]`` is False when the group's (x, y) cell column lies
+    outside the grid (the clamped range is then meaningless and MUST be
+    masked or replaced by the caller).
+
+    This is the single source of truth for the window derivation shared
+    by :func:`pair_forces_sorted`, :func:`build_candidates`, and
+    ``ops.granular_pallas.build_windows``.
+    """
+    dims = jnp.asarray(spec.dims, jnp.int32)
+    ncz0 = jnp.maximum(c[2] - 1, 0)
+    zspan = jnp.minimum(c[2] + 2, dims[2]) - ncz0     # 2 or 3 cells
+    starts, ends, oks = [], [], []
+    for dx, dy in OFFSETS_XY:
+        okxy = ((c[0] + dx >= 0) & (c[0] + dx < dims[0]) &
+                (c[1] + dy >= 0) & (c[1] + dy < dims[1]))
+        ncx = jnp.clip(c[0] + dx, 0, dims[0] - 1)
+        ncy = jnp.clip(c[1] + dy, 0, dims[1] - 1)
+        c0 = (ncx * spec.dims[1] + ncy) * spec.dims[2] + ncz0
+        starts.append(cell_start[c0])
+        ends.append(cell_start[c0 + zspan])
+        oks.append(okxy)
+    return (jnp.stack(starts, axis=-1), jnp.stack(ends, axis=-1),
+            jnp.stack(oks, axis=-1))
 
 
 class SortedGrid(NamedTuple):
@@ -158,20 +191,11 @@ def pair_forces_sorted(grid: SortedGrid, spec: GridSpec, radius, k_contact,
     min_dist = 2.0 * jnp.float32(radius)
     slot_self = jnp.arange(n, dtype=jnp.int32)
     k_idx = jnp.arange(window, dtype=jnp.int32)
+    g_starts, g_ends, g_ok = group_window_ranges(c, spec, grid.cell_start)
 
-    def one_group(carry, off):
+    def one_group(carry, xs):
         force, dropped = carry
-        dx, dy = off[0], off[1]
-        okxy = ((c[0] + dx >= 0) & (c[0] + dx < dims[0]) &
-                (c[1] + dy >= 0) & (c[1] + dy < dims[1]))
-        # first cell of the z-triple (clamped; invalid handled by okxy/z mask)
-        ncx = jnp.clip(c[0] + dx, 0, dims[0] - 1)
-        ncy = jnp.clip(c[1] + dy, 0, dims[1] - 1)
-        ncz0 = jnp.maximum(c[2] - 1, 0)
-        c0 = (ncx * spec.dims[1] + ncy) * spec.dims[2] + ncz0
-        zspan = jnp.minimum(c[2] + 2, dims[2]) - ncz0   # 2 or 3 cells
-        start = grid.cell_start[c0]
-        end = grid.cell_start[c0 + zspan]
+        start, end, okxy = xs
         dropped = dropped + jnp.sum(
             jnp.where(okxy, jnp.maximum(end - start - window, 0), 0))
         idx = start[:, None] + k_idx[None, :]            # [N, window]
@@ -188,7 +212,8 @@ def pair_forces_sorted(grid: SortedGrid, spec: GridSpec, radius, k_contact,
 
     force0 = jnp.zeros_like(pos)
     (force, dropped), _ = jax.lax.scan(
-        one_group, (force0, jnp.int32(0)), _OFFSETS_XY)
+        one_group, (force0, jnp.int32(0)),
+        (g_starts.T, g_ends.T, g_ok.T))
     # unsort back to original particle order via inverse-permutation GATHER
     # (a scatter here would reintroduce the cost this path exists to avoid)
     inv = jnp.argsort(grid.order, stable=True)
@@ -235,18 +260,9 @@ def build_candidates(grid: SortedGrid, spec: GridSpec, r_query,
     keys = []
     idxs = []
     dropped = jnp.int32(0)
-    offsets_xy = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    g_starts, g_ends, g_ok = group_window_ranges(c, spec, grid.cell_start)
     for g in range(9):
-        dx, dy = offsets_xy[g]
-        okxy = ((c[0] + dx >= 0) & (c[0] + dx < dims[0]) &
-                (c[1] + dy >= 0) & (c[1] + dy < dims[1]))
-        ncx = jnp.clip(c[0] + dx, 0, dims[0] - 1)
-        ncy = jnp.clip(c[1] + dy, 0, dims[1] - 1)
-        ncz0 = jnp.maximum(c[2] - 1, 0)
-        c0 = (ncx * spec.dims[1] + ncy) * spec.dims[2] + ncz0
-        zspan = jnp.minimum(c[2] + 2, dims[2]) - ncz0
-        start = grid.cell_start[c0]
-        end = grid.cell_start[c0 + zspan]
+        start, end, okxy = g_starts[:, g], g_ends[:, g], g_ok[:, g]
         idx = start[:, None] + k_idx[None, :]               # [N, window]
         valid = (idx < end[:, None]) & okxy[:, None]
         idxc = jnp.clip(idx, 0, n - 1)

@@ -191,7 +191,9 @@ def _run_block_pallas(state: ParticleState, config: GranularConfig,
     grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
     n = state.pos.shape[-1]
     block, slab = config.pallas_block, config.pallas_slab
-    n_pad = max(-(-n // block) * block, slab)
+    # padded size: a multiple of block that also fits one slab (the slab
+    # DMA source must cover [0, slab) even for tiny n)
+    n_pad = -(-max(n, slab) // block) * block
     windows, slab_start, dropped = granular_pallas.build_windows(
         grid, spec, block, slab, n_pad)
     pad = n_pad - n

@@ -332,6 +332,9 @@ class GranularScene(_SceneBase):
         self.state = granular.init_state(config, jax.random.key(seed))
         self.time_scale = 1.0
         self.hz = 240.0
+        self.max_substeps = 8         # clamp like cloth.frame_substeps —
+        # n_steps is a static jit arg, so an unbounded wall-clock-derived
+        # count would recompile every frame (30-60 s each on axon)
         self.dropped = 0              # broad-phase overflow telemetry
 
     def set_time_scale(self, s: float) -> None:
@@ -351,10 +354,11 @@ class GranularScene(_SceneBase):
         dt = self.clock.tick()
         if delta_time is not None:
             dt = delta_time
-        self._advance(max(1, int(round(self.time_scale * dt * self.hz))))
+        n = int(round(self.time_scale * dt * self.hz))
+        self._advance(min(max(n, 1), self.max_substeps))
 
     def simulate(self, seconds: float, hz: Optional[float] = None) -> None:
-        """Run physics headless in one fused launch."""
+        """Run physics headless in one fused launch (no substep clamp)."""
         if hz is not None:
             self.hz = hz
         self._advance(max(1, int(round(seconds * self.hz))))

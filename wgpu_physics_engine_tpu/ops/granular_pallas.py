@@ -40,8 +40,7 @@ from ..models import broadphase
 
 _EPS = 1e-6
 
-_OFFSETS_XY = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-_NG = 9          # (dx, dy) neighbor-column groups
+_NG = 9          # (dx, dy) neighbor-column groups (broadphase.OFFSETS_XY)
 _NGP = 16        # group axis padded to a sublane-friendly width
 
 # Param vector layout (SMEM f32):
@@ -70,34 +69,20 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     nonzero means ``slab`` is undersized for this density).
     """
     n = grid.sorted_cid.shape[0]
-    d0, d1, d2 = spec.dims
+    d1, d2 = spec.dims[1], spec.dims[2]
     cid = grid.sorted_cid.astype(jnp.int32)
     cx = cid // (d1 * d2)
     rem = cid - cx * (d1 * d2)
-    cy = rem // d2
-    cz = rem - cy * d2
-    ncz0 = jnp.maximum(cz - 1, 0)
-    zspan = jnp.minimum(cz + 2, d2) - ncz0
-
-    starts = []
-    ends = []
-    slot = jnp.arange(n, dtype=jnp.int32)
-    for dx, dy in _OFFSETS_XY:
-        okxy = ((cx + dx >= 0) & (cx + dx < d0) &
-                (cy + dy >= 0) & (cy + dy < d1))
-        ncx = jnp.clip(cx + dx, 0, d0 - 1)
-        ncy = jnp.clip(cy + dy, 0, d1 - 1)
-        c0 = (ncx * d1 + ncy) * d2 + ncz0
-        s = grid.cell_start[c0]
-        e = grid.cell_start[c0 + zspan]
-        # empty windows (group cell off-grid) anchor at the particle's OWN
-        # slot, not 0: [i, i) is just as empty but keeps the block's
-        # window hull tight, so boundary blocks don't drag slab A to the
-        # array head and burn slab B on the real candidates
-        starts.append(jnp.where(okxy, s, slot))
-        ends.append(jnp.where(okxy, e, slot))
-    starts = jnp.stack(starts, axis=-1)                  # [n, 9]
-    ends = jnp.stack(ends, axis=-1)
+    c = jnp.stack([cx, rem // d2, rem - (rem // d2) * d2])
+    g_starts, g_ends, g_ok = broadphase.group_window_ranges(
+        c, spec, grid.cell_start)
+    # empty windows (group cell off-grid) anchor at the particle's OWN
+    # slot, not 0: [i, i) is just as empty but keeps the block's window
+    # hull tight, so boundary blocks don't drag slab A to the array head
+    # and burn slab B on the real candidates
+    slot = jnp.arange(n, dtype=jnp.int32)[:, None]
+    starts = jnp.where(g_ok, g_starts, slot)             # [n, 9]
+    ends = jnp.where(g_ok, g_ends, slot)
     pad = n_pad - n
     nb = n_pad // block
 

@@ -201,5 +201,6 @@ def generate_trajectory_dataset(
             pf, pdev = pending
             yield pf, np.concatenate([np.asarray(x) for x in pdev], axis=0), batches
         pending = (f, imgs_dev)
-    pf, pdev = pending
-    yield pf, np.concatenate([np.asarray(x) for x in pdev], axis=0), batches
+    if pending is not None:                       # n_frames == 0: yield nothing
+        pf, pdev = pending
+        yield pf, np.concatenate([np.asarray(x) for x in pdev], axis=0), batches
