@@ -205,9 +205,10 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
         dz = pz - qz
         d2 = dx * dx + dy * dy + dz * dz
         touching = valid & (d2 < min_dist * min_dist) & (d2 > _EPS * _EPS)
-        dist = jnp.sqrt(d2)
-        inv = 1.0 / jnp.where(d2 > _EPS * _EPS, dist, 1.0)
-        w = jnp.where(touching, k_contact * (min_dist - dist) * inv, 0.0)
+        # (min_dist - dist)/dist = min_dist*rsqrt(d2) - 1: one rsqrt
+        # replaces sqrt + divide on the VPU hot path
+        inv = jax.lax.rsqrt(jnp.where(d2 > _EPS * _EPS, d2, 1.0))
+        w = jnp.where(touching, k_contact * (min_dist * inv - 1.0), 0.0)
         return (jnp.sum(w * dx, axis=1, keepdims=True),
                 jnp.sum(w * dy, axis=1, keepdims=True),
                 jnp.sum(w * dz, axis=1, keepdims=True))
