@@ -115,3 +115,31 @@ def test_datagen_zero_frames():
         steps_per_frame=1, key=jax.random.key(0), fb_size=(16, 16),
         use_pallas=False)
     assert list(gen) == []
+
+
+def test_cli_datagen_decode_roundtrip(tmp_path):
+    """End-to-end CLI: datagen --codec-k writes int8 shards, decode
+    reconstructs uint8 frames. Runs in a CPU-forced subprocess (the
+    harness sitecustomize would otherwise grab the TPU)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    enc_dir, dec_dir = str(tmp_path / "enc"), str(tmp_path / "dec")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "wgpu_physics_engine_tpu", "datagen",
+         "--worlds", "2", "--frames", "1", "--size", "32", "32",
+         "--codec-k", "12", "--outdir", enc_dir],
+        env=env, cwd=root, capture_output=True, text=True, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "wgpu_physics_engine_tpu", "decode",
+         "--indir", enc_dir, "--outdir", dec_dir],
+        env=env, cwd=root, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = np.load(os.path.join(dec_dir, "frame_00000_rgb.npy"))
+    assert out.shape == (2, 32, 32, 3) and out.dtype == np.uint8

@@ -21,7 +21,7 @@ import time
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="wgpu_physics_engine_tpu")
     p.add_argument("scene", choices=["cube", "textured", "globe", "particles",
-                                     "granular", "cloth", "datagen"])
+                                     "granular", "cloth", "datagen", "decode"])
     p.add_argument("--out", default=None, help="PNG path for a single frame")
     p.add_argument("--gif", default=None, help="animated GIF path")
     p.add_argument("--live", action="store_true",
@@ -44,6 +44,12 @@ def main(argv=None) -> int:
                    help="datagen: compress frames on device with the "
                         "fixed-rate DCT codec, keeping K of 64 coefficients "
                         "(64/K x less egress; decode with parallel.codec)")
+    p.add_argument("--indir", default="datagen_out",
+                   help="decode: directory of encoded frame_*.npy shards")
+    p.add_argument("--png", action="store_true",
+                   help="decode: also write per-world PNGs (else .npy only)")
+    p.add_argument("--quality", type=float, default=1.0,
+                   help="decode: quality used at encode time")
     args = p.parse_args(argv)
 
     from .core import config as cfg
@@ -51,6 +57,40 @@ def main(argv=None) -> int:
     from .utils import viewer
 
     t0 = time.time()
+    if args.scene == "decode":
+        import glob
+        import os
+
+        import numpy as np
+
+        from .parallel import codec
+
+        os.makedirs(args.outdir, exist_ok=True)
+        paths = sorted(glob.glob(os.path.join(args.indir, "frame_*.npy")))
+        if not paths:
+            print(f"no frame_*.npy shards in {args.indir}")
+            return 1
+        n = 0
+        for path in paths:
+            enc = np.load(path)
+            if enc.dtype != np.int8 or enc.ndim != 5:
+                print(f"skip {path}: not a codec shard "
+                      f"({enc.dtype}, {enc.shape})")
+                continue
+            imgs = codec.decode(enc, quality=args.quality)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            np.save(os.path.join(args.outdir, f"{stem}_rgb.npy"), imgs)
+            if args.png:
+                from PIL import Image
+
+                for w in range(imgs.shape[0]):
+                    Image.fromarray(imgs[w]).save(os.path.join(
+                        args.outdir, f"{stem}_w{w:04d}.png"))
+            n += imgs.shape[0]
+            print(f"{path} -> {stem}_rgb.npy {imgs.shape}")
+        print(f"decode: {n} world-frames in {time.time()-t0:.1f}s")
+        return 0
+
     if args.scene == "datagen":
         import jax
         import numpy as np
