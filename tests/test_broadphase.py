@@ -1,6 +1,8 @@
 """Uniform-grid broad-phase, granular sim, and cloth self-collision tests
 (BASELINE configs[2]/[3])."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -227,3 +229,62 @@ def test_cloth_self_collision_repels():
     np.fill_diagonal(d2, np.inf)
     assert d2.min() < 0.01                     # without contact: pass-through
     assert d.min() > 10 * d2.min()
+
+
+def test_self_collide_frozen_matches_exact():
+    """rebuild_every=K (frozen windows + slab-DMA kernel) matches the
+    exact per-substep path: with a skin-sized grid the candidate sets are
+    supersets of the true contacts, so results differ only by the
+    kernel's rsqrt formulation (~1 ulp per pair)."""
+    c = cfg.ClothConfig(height=12, width=12, cloth_size=2.0,
+                        center=(0.0, 40.0, 0.0), particle_radius=0.12)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    # drop it on the globe briefly so contacts actually form
+    state = cloth.multi_step(state, params, jnp.float32(1 / 480), 40)
+    # capacity 32 -> the exact path's window (3*capacity) is wide enough
+    # that it drops nothing as the cloth compresses (at the default 8 it
+    # silently loses contacts mid-rollout and the EXACT path is the one
+    # that diverges)
+    grid = dataclasses.replace(
+        cloth.default_self_collision_grid(c, skin=2 * c.particle_radius),
+        capacity=32)
+    dt = jnp.float32(1 / 480)
+    exact = cloth.multi_step_self_collide(state, params, dt, 12, grid)
+    frozen, dropped = cloth.multi_step_self_collide(
+        state, params, dt, 12, grid, rebuild_every=4, return_stats=True)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(frozen.pos), np.asarray(exact.pos),
+                               atol=1e-5, rtol=0)
+
+
+def test_self_collide_frozen_repels_and_pins():
+    """Frozen-path physics: folded sheets repel, pinned rows hold."""
+    c = cfg.ClothConfig(height=8, width=8, cloth_size=2.0,
+                        center=(0.0, 40.0, 0.0), particle_radius=0.12)
+    params = ClothParams.from_config(c)._replace(
+        gravity=jnp.float32(0.0), k_struct=jnp.float32(0.0),
+        k_shear=jnp.float32(0.0), k_bend=jnp.float32(0.0),
+        c_struct=jnp.float32(0.0), c_shear=jnp.float32(0.0),
+        c_bend=jnp.float32(0.0))
+    state = init_cloth_state(c)
+    pos = np.asarray(state.pos).copy()
+    pos[0, 4:, :] = pos[0, :4, :]
+    pos[2, 4:, :] = pos[2, :4, :]
+    pos[1, 4:, :] += 1.0
+    vel = np.zeros_like(pos)
+    vel[1, 4:, :] = -4.0
+    vel[1, :4, :] = 4.0
+    mask = np.zeros(pos.shape[1:], bool)
+    mask[0, 0] = True
+    st = state._replace(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                        pin_mask=jnp.asarray(mask), pin_pos=jnp.asarray(pos))
+    grid = cloth.default_self_collision_grid(c, skin=2 * c.particle_radius)
+    out = cloth.multi_step_self_collide(st, params, jnp.float32(1 / 480), 60,
+                                        grid, rebuild_every=6)
+    p = np.asarray(out.pos).reshape(3, -1)
+    d = np.linalg.norm(p.T[:, None] - p.T[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() > 0.8 * c.particle_radius          # no interpenetration
+    np.testing.assert_array_equal(np.asarray(out.pos)[:, 0, 0],
+                                  pos[:, 0, 0])       # pin held bitwise

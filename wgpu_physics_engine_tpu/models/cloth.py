@@ -188,6 +188,12 @@ def self_collision_forces(pos: jnp.ndarray, vel: jnp.ndarray, p: ClothParams,
     (compute_movement.wgsl:107-117) applied between particle pairs closer
     than ``2 · particle_radius``. Directly-linked grid neighbors sit at
     ~rest_struct ≫ 2r by default and are naturally excluded by distance.
+
+    NOTE the candidate window is capped at ``3 · grid_spec.capacity`` per
+    neighbor group — in a tightly compressed fold that can silently drop
+    contacts (raise ``capacity``, or use
+    ``multi_step_self_collide(rebuild_every=K)``, whose slab kernel has
+    no per-window cap and reports slab overflow via ``return_stats``).
     """
     from . import broadphase
 
@@ -219,25 +225,121 @@ def substep_self_collide(state: ClothState, params: ClothParams,
     return state._replace(pos=pos, vel=vel)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "grid_spec"))
+def _self_collide_block(state: ClothState, params: ClothParams,
+                        dt: jnp.ndarray, length: int, grid_spec,
+                        block: int, slab: int, interpret: bool):
+    """Frozen-window self-collision: one broad-phase rebuild + ``length``
+    substeps against it, contact narrow-phase via the slab-DMA Pallas
+    kernel (ops/granular_pallas.contact_forces_sorted). The sort ORDER is
+    frozen for the block; positions are re-gathered into it each substep
+    (two [N] permutation gathers/substep — cheap next to the per-substep
+    grid rebuild + window gathers it replaces).
+
+    Valid while displacement between rebuilds stays under
+    ``(cell_size - 2·particle_radius)/2`` (Verlet skin invariant — size
+    the grid with ``default_self_collision_grid(..., skin=...)``).
+    """
+    from . import broadphase
+    from ..ops import granular_pallas
+
+    h, w = state.pos.shape[-2:]
+    n = h * w
+    flat_pos = state.pos.reshape(3, n)
+    flat_vel = state.vel.reshape(3, n)
+    origin = jnp.min(flat_pos, axis=1) - grid_spec.cell_size
+    grid = broadphase.build_sorted_grid(flat_pos, flat_vel, grid_spec, origin)
+    n_pad = -(-max(n, slab) // block) * block
+    windows, off, dropped = granular_pallas.build_windows(
+        grid, grid_spec, block, slab, n_pad)
+    order = grid.order
+    inv = jnp.argsort(order, stable=True)
+    pad = n_pad - n
+    min_dist = 2.0 * params.particle_radius
+
+    def inner(s, _):
+        sp = s.pos.reshape(3, n)[:, order]            # frozen sort order
+        posc = jnp.pad(sp.T, ((0, pad), (0, 0)), constant_values=1e6)
+        pos4 = jnp.pad(posc.T, ((0, 1), (0, 0)))      # sublane-aligned DMA
+        f_sorted = granular_pallas.contact_forces_sorted(
+            pos4, posc, windows, off, min_dist, params.k_contact,
+            block=block, slab=slab, n_real=n, interpret=interpret)
+        f_self = f_sorted[:n].T[:, inv].reshape(3, h, w)
+        force = spring_forces(s.pos, s.vel, params) + f_self
+        pos, vel = integrate(s.pos, s.vel, force, params, dt)
+        if s.pin_mask is not None:
+            pin = s.pin_mask[None]
+            pos = jnp.where(pin, s.pin_pos, pos)
+            vel = jnp.where(pin, 0.0, vel)
+        return s._replace(pos=pos, vel=vel), None
+
+    out, _ = jax.lax.scan(inner, state, None, length=length)
+    return out, dropped
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "grid_spec",
+                                             "rebuild_every", "pallas_block",
+                                             "pallas_slab", "interpret",
+                                             "return_stats"))
 def multi_step_self_collide(state: ClothState, params: ClothParams,
-                            dt: jnp.ndarray, n_steps: int, grid_spec) -> ClothState:
-    def body(s, _):
-        return substep_self_collide(s, params, dt, grid_spec), None
+                            dt: jnp.ndarray, n_steps: int, grid_spec,
+                            rebuild_every: int = 1,
+                            pallas_block: int = 128, pallas_slab: int = 384,
+                            interpret: Optional[bool] = None,
+                            return_stats: bool = False):
+    """``n_steps`` self-colliding substeps (BASELINE configs[3]).
 
-    out, _ = jax.lax.scan(body, state, None, length=n_steps)
-    return out
+    ``rebuild_every=1`` (default) rebuilds the spatial hash every substep
+    (exact, XLA sorted-window path). ``rebuild_every=K>1`` freezes the
+    broad-phase for K substeps and runs the contact narrow-phase through
+    the slab-DMA Pallas kernel — ~10× faster at 256²; size the grid with
+    a skin (``default_self_collision_grid(..., skin=...)``) so the
+    Verlet invariant holds between rebuilds.
+
+    ``return_stats`` additionally returns the worst per-rebuild
+    dropped-candidate count (frozen path only; 0 means the slabs covered
+    every window).
+    """
+    if rebuild_every <= 1:
+        def body(s, _):
+            return substep_self_collide(s, params, dt, grid_spec), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return (out, jnp.int32(0)) if return_stats else out
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k = rebuild_every
+    n_outer, rem = divmod(n_steps, k)
+
+    def outer(carry, _):
+        s, dmax = carry
+        s, d = _self_collide_block(s, params, dt, k, grid_spec,
+                                   pallas_block, pallas_slab, interpret)
+        return (s, jnp.maximum(dmax, d)), None
+
+    dmax = jnp.int32(0)
+    if n_outer:
+        (state, dmax), _ = jax.lax.scan(outer, (state, dmax), None,
+                                        length=n_outer)
+    if rem:
+        state, d = _self_collide_block(state, params, dt, rem, grid_spec,
+                                       pallas_block, pallas_slab, interpret)
+        dmax = jnp.maximum(dmax, d)
+    return (state, dmax) if return_stats else state
 
 
-def default_self_collision_grid(config, pad: float = 1.5):
+def default_self_collision_grid(config, pad: float = 1.5,
+                                skin: float = 0.0):
     """GridSpec for cloth self-collision: cell ≈ the contact diameter
-    (low occupancy), dims sized to the cloth's possible span; the grid
-    ORIGIN is dynamic (follows the cloth bbox — see
-    :func:`self_collision_forces`), so the domain stays tight."""
+    plus ``skin`` (for the frozen rebuild-every-K schedule: displacement
+    between rebuilds must stay under ``skin/2``), dims sized to the
+    cloth's possible span; the grid ORIGIN is dynamic (follows the cloth
+    bbox — see :func:`self_collision_forces`), so the domain stays
+    tight."""
     from . import broadphase
 
     r = config.particle_radius
-    cell = 2.05 * r
+    cell = 2.05 * r + skin
     span = pad * max(config.cloth_size, 2.2 * config.globe_radius)
     dims = min(int(span / cell) + 2, 256)
     return broadphase.GridSpec(origin=(0.0, 0.0, 0.0),

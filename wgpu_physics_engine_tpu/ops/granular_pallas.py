@@ -142,9 +142,10 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     return windows, off, dropped
 
 
-def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
-            posc_out, velc_out, slabs, facc, sems, *, block, slab, n_real):
-    """One granular substep for sorted-block ``b = program_id(0)``.
+def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
+                      slab_ref, slabs, facc, sems, *, block, slab):
+    """Shared contact-force phase: slab DMAs + dense masked pair math for
+    sorted-block ``b = program_id(0)``.
 
     All per-particle quantities live as ``[B, 1]`` columns, slab
     candidates as ``[1, S]`` rows; pair math is dense masked ``[B, S]``.
@@ -154,8 +155,9 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     ``slab_ref`` is this block's [1, 18] slab-offset row in SMEM (a
     per-block input — never a monolithic scalar-prefetch array, which
     overflows SMEM beyond ~7.3k blocks and corrupts memory silently).
-    Physics op order matches models/granular._frozen_substep exactly:
-    pair penalty forces -> gravity -> Euler -> wall clamp & reflect.
+
+    Returns ``(px, py, pz, fx, fy, fz, selfs)`` — positions, pair-force
+    sums, and global sorted slot ids, each ``[block, 1]``.
     """
     b = pl.program_id(0)
     row = jax.lax.rem(b, 8)         # slab_ref holds 8 blocks' offset rows
@@ -177,18 +179,10 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
 
         dmas.append((cpa, cpb))
 
-    min_dist = params_ref[0]
-    k_contact = params_ref[1]
-    gravity = params_ref[2]
-    dt = params_ref[3]
-    restitution = params_ref[4]
-    limit = params_ref[5]
-
     px = posc_blk[:, 0:1]
     py = posc_blk[:, 1:2]
     pz = posc_blk[:, 2:3]
     selfs = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
-    alive = selfs < n_real
 
     fx = jnp.zeros((block, 1), jnp.float32)
     fy = jnp.zeros((block, 1), jnp.float32)
@@ -240,6 +234,26 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     fx = fx + facc[:, 0:1]
     fy = fy + facc[:, 1:2]
     fz = fz + facc[:, 2:3]
+    return px, py, pz, fx, fy, fz, selfs
+
+
+def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
+            posc_out, velc_out, slabs, facc, sems, *, block, slab, n_real):
+    """One granular substep for sorted-block ``b = program_id(0)``:
+    the shared pair-force phase, then gravity -> Euler -> wall clamp &
+    reflect — op order matching models/granular._frozen_substep exactly.
+    """
+    min_dist = params_ref[0]
+    k_contact = params_ref[1]
+    gravity = params_ref[2]
+    dt = params_ref[3]
+    restitution = params_ref[4]
+    limit = params_ref[5]
+
+    px, py, pz, fx, fy, fz, selfs = _pair_force_phase(
+        min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
+        slabs, facc, sems, block=block, slab=slab)
+    alive = selfs < n_real
     fy = fy + gravity                                    # unit mass
 
     vx = velc_blk[:, 0:1] + fx * dt
@@ -263,6 +277,61 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     velc_out[:, 0:1] = jnp.where(alive, vx, velc_blk[:, 0:1])
     velc_out[:, 1:2] = jnp.where(alive, vy, velc_blk[:, 1:2])
     velc_out[:, 2:3] = jnp.where(alive, vz, velc_blk[:, 2:3])
+
+
+def _forces_kernel(params_ref, pos3_hbm, posc_blk, win_blk, slab_ref,
+                   f_out, slabs, facc, sems, *, block, slab, n_real):
+    """Force-only variant: write the pair contact-force sums and stop —
+    the caller owns integration (cloth self-collision folds these into
+    its spring-force accumulation, models/cloth.self_collision_forces)."""
+    _, _, _, fx, fy, fz, selfs = _pair_force_phase(
+        params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
+        slab_ref, slabs, facc, sems, block=block, slab=slab)
+    alive = selfs < n_real
+    f_out[:, 0:1] = jnp.where(alive, fx, 0.0)
+    f_out[:, 1:2] = jnp.where(alive, fy, 0.0)
+    f_out[:, 2:3] = jnp.where(alive, fz, 0.0)
+
+
+def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
+                          windows: jnp.ndarray, slab_start: jnp.ndarray,
+                          min_dist, k_contact, *, block: int, slab: int,
+                          n_real: int, interpret: bool) -> jnp.ndarray:
+    """Pairwise penalty contact forces on padded SORTED positions.
+
+    Same slab-DMA machinery as :func:`substep_sorted` but returns forces
+    ``[n_pad, 3]`` (zero on pad rows) instead of integrating — the
+    narrow-phase for cloth self-collision (BASELINE configs[3]), whose
+    integration lives in the cloth step.
+    """
+    n_pad = posc.shape[0]
+    nb = n_pad // block
+    pvec = jnp.stack([jnp.asarray(min_dist, jnp.float32),
+                      jnp.asarray(k_contact, jnp.float32)])
+    kernel = functools.partial(_forces_kernel, block=block, slab=slab,
+                               n_real=n_real)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # params
+            pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
+            pl.BlockSpec((block, 3), lambda b: (b, 0)),
+            pl.BlockSpec((block, 2 * _NGP), lambda b: (b, 0)),
+            pl.BlockSpec((8, 2 * _NG), lambda b: (b // 8, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 3), lambda b: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_NG, 2, 4, slab), jnp.float32),
+            pltpu.VMEM((block, 4), jnp.float32),
+            pltpu.SemaphoreType.DMA((_NG, 2)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pvec, pos3, posc, windows, slab_start)
 
 
 def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
