@@ -215,3 +215,17 @@ def test_granular_scene_frame_contract():
     s.set_time_scale(0.5)
     s.reconfigure(k_contact=1000.0)
     assert s.config.k_contact == 1000.0
+
+
+def test_cloth_scene_self_collide():
+    """ClothScene(self_collide=True) steps through the frozen-window
+    self-collision path and stays finite."""
+    import numpy as np
+
+    s = scenes.ClothScene(config=cfg.ClothConfig(height=12, width=12),
+                          self_collide=True)
+    s.update(1.0 / 60.0)
+    s.simulate(0.05)
+    assert np.isfinite(np.asarray(s.state.pos)).all()
+    img = s.render(60, 90)
+    assert np.isfinite(img).all()

@@ -35,6 +35,8 @@ def main(argv=None) -> int:
                    help="cloth particles per side (default 60)")
     p.add_argument("--particles", type=int, default=None,
                    help="granular: particle count (default 20000)")
+    p.add_argument("--self-collide", action="store_true",
+                   help="cloth: enable cloth-cloth contact (spatial hash)")
     p.add_argument("--worlds", type=int, default=64)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--outdir", default="datagen_out")
@@ -140,7 +142,7 @@ def main(argv=None) -> int:
     else:
         c = cfg.ClothConfig() if args.grid is None else cfg.ClothConfig(
             height=args.grid, width=args.grid)
-        s = scenes.ClothScene(config=c)
+        s = scenes.ClothScene(config=c, self_collide=args.self_collide)
 
     h, w = args.size
     if args.live:

@@ -20,6 +20,7 @@ Scenes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional
 
@@ -229,7 +230,8 @@ class ClothScene(_SceneBase):
     def __init__(self, config=cfg.ClothConfig(), globe_texture=None,
                  particle_color=(1.0, 0.0, 0.0),
                  camera_cfg=cfg.CameraConfig(), light=cfg.LightConfig(),
-                 aspect=1200 / 800, use_pallas: bool = True):
+                 aspect=1200 / 800, use_pallas: bool = True,
+                 self_collide: bool = False):
         super().__init__(camera_cfg, light, aspect)
         self.config = config
         self.params = ClothParams.from_config(config)
@@ -238,6 +240,12 @@ class ClothScene(_SceneBase):
         self.particle_color = particle_color
         self.time_scale = config.time_scale
         self.use_pallas = use_pallas
+        # cloth-cloth contact (BASELINE configs[3]): frozen-window
+        # spatial hash + slab-DMA narrow phase, an extension over the
+        # reference (which lets the cloth pass through itself)
+        self.self_collide = self_collide
+        self._sc_grid = cloth.default_self_collision_grid(
+            config, skin=2.0 * config.particle_radius)
 
     # --- egui sliders (cloth.rs:1409-1435) ---
     def set_gravity(self, g: float) -> None:
@@ -262,6 +270,10 @@ class ClothScene(_SceneBase):
             pin_mask=jnp.asarray(mask), pin_pos=self.state.pos)
 
     def _stepper(self):
+        if self.self_collide:
+            return functools.partial(cloth.multi_step_self_collide,
+                                     grid_spec=self._sc_grid,
+                                     rebuild_every=8)
         if self.use_pallas:
             try:
                 from ..ops import cloth_pallas
