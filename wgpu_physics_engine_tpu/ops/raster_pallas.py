@@ -93,3 +93,146 @@ def sphere_raster(eye: jnp.ndarray, dirs: jnp.ndarray, centers: jnp.ndarray,
         interpret=interpret,
     )(scal, ocb, dirs)
     return tmin, inst
+
+
+# ---------------------------------------------------------------------------
+# Tile-binned variant
+# ---------------------------------------------------------------------------
+
+def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
+                  *, th, tw, tx_tiles):
+    """Nearest hit for pixel tile ``t = program_id(0)`` over its binned
+    candidate ranges: 3 sorted-order row-ring ranges + the global range
+    (instances too close/large/behind to bin — exact fallback, no caps).
+    """
+    t = pl.program_id(0)
+    row = jax.lax.rem(t, 8)
+    znear = scal_ref[0]
+
+    def body(k, carry):
+        tmin, inst = carry
+        ocx = oc_ref[0, k]
+        ocy = oc_ref[1, k]
+        ocz = oc_ref[2, k]
+        cc = oc_ref[3, k]
+        b = dirs_ref[0] * ocx + dirs_ref[1] * ocy + dirs_ref[2] * ocz
+        disc = b * b - cc
+        tt = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        better = (disc > 0.0) & (tt > znear) & (tt < tmin)
+        return jnp.where(better, tt, tmin), jnp.where(better, k, inst)
+
+    tmin = jnp.full((th, tw), jnp.inf, jnp.float32)
+    inst = jnp.full((th, tw), -1, jnp.int32)
+    for g in range(4):                      # 3 row-ring ranges + global
+        start = wins_ref[row, 2 * g]
+        end = wins_ref[row, 2 * g + 1]
+        tmin, inst = jax.lax.fori_loop(start, end, body, (tmin, inst))
+    tmin_out[...] = tmin
+    inst_out[...] = inst
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def sphere_raster_tiled(camera_rot: jnp.ndarray, eye: jnp.ndarray,
+                        dirs: jnp.ndarray, centers: jnp.ndarray, radius,
+                        znear, tan_half, aspect,
+                        tile_h: int = 8,
+                        interpret: Optional[bool] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tile-binned nearest ray-sphere hit (same contract as
+    :func:`sphere_raster`, ~5-10× less VPU work at datagen scales).
+
+    Instances are binned by the screen tile of their projected center
+    (sorted by tile id + histogram/cumsum ranges — the broadphase trick in
+    2-D); each ``(tile_h, 128)`` pixel tile tests only instances whose
+    center lies in its 3-row × 3-column tile ring. Instances that project
+    too large for the ring (close-ups), sit closer than ``znear + r``, or
+    lie behind the camera go to a GLOBAL range appended at the sorted
+    array's end that every tile also tests — an exact fallback, so the
+    binned path drops nothing, ever.
+
+    ``camera_rot`` [3,3] world→view, ``dirs`` [3, H, W] normalized world
+    rays (pixel_rays convention: row 0 = NDC y=+1).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = dirs.shape[-2:]
+    th, tw = tile_h, 128
+    assert h % th == 0 and w % tw == 0
+    ty_t, tx_t = h // th, w // tw
+    n_tiles = ty_t * tx_t
+    n = centers.shape[0]
+    r = jnp.float32(radius)
+
+    oc = (centers - eye[None, :]).astype(jnp.float32)          # [N, 3] world
+    cc = jnp.sum(oc * oc, axis=1) - r * r
+    cv = oc @ camera_rot.T                                     # [N, 3] view
+    depth = -cv[:, 2]
+    safe = depth > (znear + r)
+    d = jnp.where(safe, depth, 1.0)
+    col = ((cv[:, 0] / d) / (tan_half * aspect) + 1.0) * 0.5 * w - 0.5
+    row = (1.0 - (cv[:, 1] / d) / tan_half) * 0.5 * h - 0.5
+    r_px = r / d * jnp.maximum(h / (2.0 * tan_half),
+                               w / (2.0 * tan_half * aspect))
+    fits = safe & (1.5 * r_px + 2.0 < th)
+    tx = jnp.clip((col // tw).astype(jnp.int32), 0, tx_t - 1)
+    ty = jnp.clip((row // th).astype(jnp.int32), 0, ty_t - 1)
+    tid = jnp.where(fits, ty * tx_t + tx, n_tiles)     # unbinnable -> global
+
+    order = jnp.argsort(tid, stable=True)
+    counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[tid[order]].add(
+        1, indices_are_sorted=True)
+    tile_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(counts).astype(jnp.int32)])
+
+    # per-tile windows: 3 row-ring ranges (x-ring is contiguous in the
+    # x-minor tile order) + the global range, + znear as a per-row scalar
+    tys = jnp.arange(ty_t, dtype=jnp.int32)[:, None]           # [TY, 1]
+    txs = jnp.arange(tx_t, dtype=jnp.int32)[None, :]           # [1, TX]
+    wins = []
+    for dy in (-1, 0, 1):
+        oky = (tys + dy >= 0) & (tys + dy < ty_t)
+        nty = jnp.clip(tys + dy, 0, ty_t - 1)
+        x0 = jnp.maximum(txs - 1, 0)
+        x1 = jnp.minimum(txs + 1, tx_t - 1)
+        s = tile_start[nty * tx_t + x0]
+        e = tile_start[nty * tx_t + x1 + 1]
+        wins.append(jnp.where(oky, s, 0).reshape(-1))
+        wins.append(jnp.where(oky, e, 0).reshape(-1))
+    gs = jnp.broadcast_to(tile_start[n_tiles], (n_tiles,))
+    ge = jnp.broadcast_to(jnp.int32(n), (n_tiles,))
+    wins = jnp.stack(wins + [gs, ge], axis=-1)                 # [T, 8]
+    pad8 = (-n_tiles) % 8
+    wins = jnp.pad(wins, ((0, pad8), (0, 0)))
+    scal = jnp.asarray([znear], jnp.float32)
+
+    ocb = jnp.concatenate([oc[order].T, cc[order][None]], axis=0)  # [4, N]
+
+    kernel = functools.partial(_tiled_kernel, th=th, tw=tw, tx_tiles=tx_t)
+    tmin, inst_sorted = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # znear
+            pl.BlockSpec((8, 8), lambda t: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # oc table
+            pl.BlockSpec((3, th, tw),
+                         lambda t: (0, t // tx_t, jax.lax.rem(t, tx_t))),
+        ],
+        out_specs=(
+            pl.BlockSpec((th, tw),
+                         lambda t: (t // tx_t, jax.lax.rem(t, tx_t))),
+            pl.BlockSpec((th, tw),
+                         lambda t: (t // tx_t, jax.lax.rem(t, tx_t))),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(scal, wins, ocb, dirs)
+    hit = inst_sorted >= 0
+    inst = jnp.where(hit, order[jnp.clip(inst_sorted, 0, n - 1)], -1)
+    return tmin, inst
