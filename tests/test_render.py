@@ -297,3 +297,37 @@ def test_mesh_tiled_window_overflow_reported():
                              texture=T.checkerboard(), binned=True,
                              window=8, cand_chunk=8, return_stats=True)
     assert int(dropped) > 0
+
+
+def test_sphere_raster_tiled_matches_untiled():
+    """The tile-binned sphere raster is bit-identical to the untiled
+    kernel, including the global-fallback cases (near/behind-camera and
+    close-up instances)."""
+    import jax
+
+    from wgpu_physics_engine_tpu.ops import raster_pallas
+
+    cam = R.make_camera(cfg.CameraConfig(), aspect=1.0)
+    h = w = 128
+    eye, dirs = R.camera.pixel_rays(cam, h, w)
+    rot = np.asarray(cam.view[:3, :3])
+    fwd = -rot[2]
+    eye_np = np.asarray(eye)
+    rng = np.random.default_rng(0)
+    centers = np.concatenate([
+        rng.uniform(-8, 8, (200, 3)),
+        [eye_np + fwd * 0.2,            # closer than znear+r -> global
+         eye_np - fwd * 5.0,            # behind camera -> global
+         eye_np + fwd * 1.5],           # projects huge -> global
+    ]).astype(np.float32)
+    t0, i0 = raster_pallas.sphere_raster(
+        eye, dirs, jnp.asarray(centers), 0.4, cam.znear, interpret=True)
+    for tile_h in (8, 16):
+        t1, i1 = raster_pallas.sphere_raster_tiled(
+            cam.view[:3, :3], eye, dirs, jnp.asarray(centers), 0.4,
+            cam.znear, jnp.tan(cam.fovy_rad / 2.0), cam.aspect,
+            tile_h=tile_h, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        m = np.asarray(i0) >= 0
+        np.testing.assert_array_equal(np.asarray(t0)[m], np.asarray(t1)[m])
+    assert (np.asarray(i0) >= 0).sum() > 100        # scene actually hits
