@@ -8,11 +8,18 @@ vs_baseline is value / 1e9 (the driver-set target; the reference itself
 publishes no numbers — its implied realtime ceiling is 1.73e6, see
 BASELINE.md).
 
+Process structure: the parent imports no jax and never touches the TPU;
+each metric group (cloth / granular / self-collide) runs in its OWN
+subprocess, sequentially. Isolation matters on the shared axon worker:
+compiling a second very large program while one is resident can crash the
+remote TPU worker (~5-10 min recovery), and a crash then only loses one
+metric instead of the whole bench.
+
 Notes:
 * under the axon TPU platform ``block_until_ready`` does not reliably
   synchronize, so timing forces a device→host readback of one array;
 * each launch pays a ~46 ms fixed dispatch cost through the axon tunnel, so
-  the benchmark runs a sustained 30k-substep launch (the engine's intended
+  benchmarks run sustained many-substep launches (the engine's intended
   usage — the reference steps continuously at 480 Hz) to measure the true
   kernel rate rather than the tunnel.
 """
@@ -20,18 +27,22 @@ Notes:
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 TARGET = 1.0e9
 H = W = 256
 SUBSTEPS = 30_000
 DT = 1.0 / 480.0
 
+_CHILD_ENV = "_WPE_BENCH_CHILD"
+
+
+# ---------------------------------------------------------------------------
+# Child metric implementations (each runs in its own TPU process)
+# ---------------------------------------------------------------------------
 
 def _best_multi_step():
     """Pick the fastest available multi-substep implementation."""
@@ -54,6 +65,9 @@ def _best_multi_step():
 
 
 def _time_impl(fn, state, params, n_steps) -> float:
+    import jax.numpy as jnp
+    import numpy as np
+
     dt = jnp.float32(DT)
     out = fn(state, params, dt, n_steps)
     np.asarray(out.pos)  # compile + sync
@@ -67,7 +81,7 @@ def _time_impl(fn, state, params, n_steps) -> float:
     return best
 
 
-def main() -> None:
+def _child_cloth() -> dict:
     from wgpu_physics_engine_tpu.core import config as cfg
     from wgpu_physics_engine_tpu.core.state import ClothParams, init_cloth_state
 
@@ -82,34 +96,17 @@ def main() -> None:
             results[name] = H * W * SUBSTEPS / el
         except Exception as e:  # an impl failing must not kill the bench
             print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-
-    # headline = the fidelity-contract (exact sqrt) kernel; the rsqrt
-    # fast_math variant is reported as a secondary field, not the value
-    value = results.get("pallas", max(results.values()))
-    for name, v in sorted(results.items(), key=lambda kv: -kv[1]):
-        print(f"# {name}: {v:.3e} particle-steps/s", file=sys.stderr)
-    out = {
-        "metric": "particle-steps/sec/chip (256x256 cloth + sphere collide)",
-        "value": value,
-        "unit": "particle-steps/s",
-        "vs_baseline": value / TARGET,
-    }
-    if "pallas_fast" in results:
-        out["fast_math"] = results["pallas_fast"]
-    if "xla" in results:
-        out["xla"] = results["xla"]
-    try:
-        out["granular_1m"] = _granular_rate()
-    except Exception as e:
-        print(f"# granular bench failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-    print(json.dumps(out))
+    return results
 
 
-def _granular_rate(n: int = 1_000_000, n_steps: int = 64) -> float:
+def _child_granular(n: int = 1_000_000, n_steps: int = 64) -> dict:
     """Secondary metric: end-to-end 1M-particle granular contact
     (BASELINE configs[2] extension), slab-DMA Pallas kernel, default
-    rebuild-every-8 schedule."""
+    rebuild schedule."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from wgpu_physics_engine_tpu.models import granular
 
     cfg = granular.GranularConfig(num_particles=n)
@@ -121,7 +118,94 @@ def _granular_rate(n: int = 1_000_000, n_steps: int = 64) -> float:
         t0 = time.time()
         np.asarray(granular.multi_step(state, cfg, dt, n_steps).pos[:1, :1])
         best = min(best, time.time() - t0)
-    return n * n_steps / best
+    return {"granular_1m": n * n_steps / best}
+
+
+def _child_self_collide(n_steps: int = 512) -> dict:
+    """Secondary metric: cloth self-collision at 256² (BASELINE
+    configs[3]), frozen-window schedule."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.core.state import ClothParams, init_cloth_state
+    from wgpu_physics_engine_tpu.models import cloth
+
+    c = cfg.ClothConfig(height=H, width=W)
+    params = ClothParams.from_config(c)
+    state = init_cloth_state(c)
+    spec = cloth.default_self_collision_grid(
+        c, skin=0.5 * c.particle_radius)
+    dt = jnp.float32(DT)
+
+    def run(s):
+        return cloth.multi_step_self_collide(s, params, dt, n_steps, spec,
+                                             rebuild_every=8)
+
+    np.asarray(run(state).pos)
+    best = float("inf")
+    for trial in range(3):
+        st = state._replace(pos=state.pos + jnp.float32(trial * 1e-3))
+        t0 = time.time()
+        np.asarray(run(st).pos)
+        best = min(best, time.time() - t0)
+    return {"self_collide_256": H * W * n_steps / best}
+
+
+_CHILDREN = {
+    "cloth": _child_cloth,
+    "granular": _child_granular,
+    "self_collide": _child_self_collide,
+}
+
+
+# ---------------------------------------------------------------------------
+# Parent orchestration (no jax, no TPU)
+# ---------------------------------------------------------------------------
+
+def _run_child(name: str) -> dict:
+    env = dict(os.environ)
+    env[_CHILD_ENV] = name
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, capture_output=True, text=True,
+                       timeout=1800)
+    sys.stderr.write(r.stderr)
+    if r.returncode != 0:
+        print(f"# {name} child failed (rc={r.returncode})", file=sys.stderr)
+        return {}
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        print(f"# {name} child output unparseable: {e}", file=sys.stderr)
+        return {}
+
+
+def main() -> None:
+    child = os.environ.get(_CHILD_ENV)
+    if child:
+        print(json.dumps(_CHILDREN[child]()))
+        return
+
+    results = {}
+    for name in _CHILDREN:
+        results.update(_run_child(name))
+
+    # headline = the fidelity-contract (exact sqrt) kernel; if it ever
+    # fails to compile, fall back to the XLA path — NEVER the fast_math
+    # rsqrt variant (that would silently report the wrong contract)
+    value = results.get("pallas", results.get("xla", 0.0))
+    for name, v in sorted(results.items(), key=lambda kv: -kv[1]):
+        print(f"# {name}: {v:.3e} particle-steps/s", file=sys.stderr)
+    out = {
+        "metric": "particle-steps/sec/chip (256x256 cloth + sphere collide)",
+        "value": value,
+        "unit": "particle-steps/s",
+        "vs_baseline": value / TARGET,
+    }
+    for key in ("pallas_fast", "xla", "granular_1m", "self_collide_256"):
+        if key in results:
+            out["fast_math" if key == "pallas_fast" else key] = results[key]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -30,6 +30,28 @@ def scene16():
     return c, scene, pos0, vel0
 
 
+# The oracle is a NumPy per-substep loop — by far the slowest thing in this
+# module. The long-horizon tests all walk the SAME trajectory, so run it
+# once per module with snapshots at every needed horizon instead of
+# recomputing shared prefixes from scratch (2000 + 1500 + 1230 + 50 steps
+# → 2000).
+_SNAPSHOTS = (50, 1230, 1500, 2000)
+
+
+@pytest.fixture(scope="module")
+def oracle_traj(scene16):
+    """dict: n_steps -> (pos, vel) snapshots of the canonical 16×16 run."""
+    c, scene, pos0, vel0 = scene16
+    dt = 1.0 / 480.0
+    pos, vel = pos0.copy(), vel0.copy()
+    out, done = {}, 0
+    for n in _SNAPSHOTS:
+        pos, vel = oracle.simulate(scene, pos, vel, dt, n - done)
+        out[n] = (pos.copy(), vel.copy())
+        done = n
+    return out
+
+
 def test_initial_state_matches_oracle(scene16):
     c, scene, pos0, vel0 = scene16
     state = init_cloth_state(c)
@@ -50,7 +72,7 @@ def test_single_substep_matches(scene16):
 
 
 @pytest.mark.parametrize("n_steps", [50, 1230])
-def test_trajectory_matches_at_1e4(scene16, n_steps):
+def test_trajectory_matches_at_1e4(scene16, oracle_traj, n_steps):
     """BASELINE fidelity bar: trajectory match vs CPU reference at 1e-4
     (fp32), through free fall, impact, and into the contact/friction phase.
 
@@ -68,7 +90,7 @@ def test_trajectory_matches_at_1e4(scene16, n_steps):
     statistical agreement (test_long_horizon_statistics)."""
     c, scene, pos0, vel0 = scene16
     dt = 1.0 / 480.0
-    ref_pos, ref_vel = oracle.simulate(scene, pos0.copy(), vel0.copy(), dt, n_steps)
+    ref_pos, ref_vel = oracle_traj[n_steps]
 
     params = ClothParams.from_config(c)
     state = init_cloth_state(c)
@@ -80,7 +102,7 @@ def test_trajectory_matches_at_1e4(scene16, n_steps):
     np.testing.assert_allclose(got_vel, ref_vel, atol=1e-3, rtol=1e-3)
 
 
-def test_deep_contact_single_step_resync(scene16):
+def test_deep_contact_single_step_resync(scene16, oracle_traj):
     """Step-local fidelity: from the oracle's own state deep in the contact
     phase (t = 3.1 s, cloth draped on the globe), one TPU substep matches
     the oracle substep.
@@ -98,7 +120,7 @@ def test_deep_contact_single_step_resync(scene16):
     """
     c, scene, pos0, vel0 = scene16
     dt = 1.0 / 480.0
-    pos, vel = oracle.simulate(scene, pos0.copy(), vel0.copy(), dt, 1500)
+    pos, vel = (a.copy() for a in oracle_traj[1500])
     ref_pos, ref_vel = oracle.substep(scene, pos.copy(), vel.copy(), dt)
 
     params = ClothParams.from_config(c)
@@ -121,13 +143,13 @@ def test_deep_contact_single_step_resync(scene16):
                                atol=2e-1, rtol=1e-2)
 
 
-def test_long_horizon_statistics(scene16):
+def test_long_horizon_statistics(scene16, oracle_traj):
     """Long-horizon statistical agreement (chaos-tolerant): after 4.2 s the
     two implementations agree on the ensemble: mean/min particle radius and
     mean height within 1e-3 relative."""
     c, scene, pos0, vel0 = scene16
     dt = 1.0 / 480.0
-    ref_pos, _ = oracle.simulate(scene, pos0.copy(), vel0.copy(), dt, 2000)
+    ref_pos, _ = oracle_traj[2000]
     params = ClothParams.from_config(c)
     out = cloth.multi_step(init_cloth_state(c), params, jnp.float32(dt), 2000)
     got_pos = from_grid(out.pos)

@@ -118,9 +118,11 @@ def test_datagen_zero_frames():
 
 
 def test_cli_datagen_decode_roundtrip(tmp_path):
-    """End-to-end CLI: datagen --codec-k writes int8 shards, decode
-    reconstructs uint8 frames. Runs in a CPU-forced subprocess (the
-    harness sitecustomize would otherwise grab the TPU)."""
+    """End-to-end CLI: datagen --codec-k at a NON-default quality writes
+    int8 shards + a codec_meta.json sidecar; decode needs no flags (the
+    sidecar is the source of truth) and refuses a contradicting --quality.
+    Runs in a CPU-forced subprocess (the harness sitecustomize would
+    otherwise grab the TPU)."""
     import os
     import subprocess
     import sys
@@ -133,9 +135,11 @@ def test_cli_datagen_decode_roundtrip(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "wgpu_physics_engine_tpu", "datagen",
          "--worlds", "2", "--frames", "1", "--size", "32", "32",
-         "--codec-k", "12", "--outdir", enc_dir],
+         "--codec-k", "12", "--quality", "2.5", "--outdir", enc_dir],
         env=env, cwd=root, capture_output=True, text=True, timeout=500)
     assert r.returncode == 0, r.stderr[-2000:]
+    meta = codec.read_meta(enc_dir)
+    assert meta["k"] == 12 and meta["quality"] == 2.5
     r = subprocess.run(
         [sys.executable, "-m", "wgpu_physics_engine_tpu", "decode",
          "--indir", enc_dir, "--outdir", dec_dir],
@@ -143,3 +147,48 @@ def test_cli_datagen_decode_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = np.load(os.path.join(dec_dir, "frame_00000_rgb.npy"))
     assert out.shape == (2, 32, 32, 3) and out.dtype == np.uint8
+    # quality came from the sidecar, not a default: pixels match a direct
+    # decode at 2.5 and differ from one at 1.0
+    enc = np.load(os.path.join(enc_dir, "frame_00000.npy"))
+    np.testing.assert_array_equal(out, codec.decode(enc, quality=2.5))
+    assert not np.array_equal(out, codec.decode(enc, quality=1.0))
+    # contradicting flag refused; --force-quality overrides
+    r = subprocess.run(
+        [sys.executable, "-m", "wgpu_physics_engine_tpu", "decode",
+         "--indir", enc_dir, "--outdir", dec_dir, "--quality", "1.0"],
+        env=env, cwd=root, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 1 and "disagrees" in r.stdout
+    # missing sidecar refused without --force-quality
+    os.remove(os.path.join(enc_dir, "codec_meta.json"))
+    r = subprocess.run(
+        [sys.executable, "-m", "wgpu_physics_engine_tpu", "decode",
+         "--indir", enc_dir, "--outdir", dec_dir],
+        env=env, cwd=root, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 1 and "sidecar" in r.stdout
+
+
+def test_meta_sidecar_roundtrip(tmp_path):
+    codec.write_meta(str(tmp_path), k=9, quality=3.0, fb_size=(64, 48))
+    meta = codec.read_meta(str(tmp_path))
+    assert meta == {"codec_version": codec.CODEC_VERSION, "k": 9,
+                    "quality": 3.0, "fb_size": [64, 48]}
+    with pytest.raises(FileNotFoundError):
+        codec.read_meta(str(tmp_path / "nope"))
+
+
+def test_datagen_world_chunk_remainder():
+    """Requesting n_worlds not divisible by world_chunk generates ALL
+    worlds via a final short chunk (regression: 100 worlds with chunk 64
+    used to silently produce 64)."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.parallel import datagen
+
+    gen = datagen.generate_trajectory_dataset(
+        cfg.ClothConfig(height=8, width=8), n_worlds=5, n_frames=1,
+        steps_per_frame=1, key=jax.random.key(0), fb_size=(16, 16),
+        world_chunk=3, use_pallas=False)
+    frames = list(gen)
+    assert len(frames) == 1
+    _, imgs, batches = frames[0]
+    assert imgs.shape[0] == 5
+    assert [b.state.pos.shape[0] for b in batches] == [3, 2]

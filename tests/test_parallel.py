@@ -141,6 +141,56 @@ def test_spatial_kernel_with_pins_matches(devices8):
         np.asarray(out.pos)[:, 0, :], np.asarray(state.pos)[:, 0, :])
 
 
+@pytest.mark.parametrize("use_kernel,k", [(False, 1), (True, 2)])
+def test_composed_worlds_rows_matches_single(devices8, use_kernel, k):
+    """The composed worlds-DP × rows-SP path (exactly what the driver's
+    dryrun exercises) ≡ per-world single-device stepping, with per-world
+    pins, halo widening, and the fused Pallas window kernel (VERDICT-r2
+    item #4: this path used to hardcode the XLA body + per-substep
+    exchanges and never saw pins)."""
+    c = cfg.ClothConfig(height=16, width=16)
+    params = ClothParams.from_config(c)
+    base = init_cloth_state(c)
+    keys = jax.random.split(jax.random.key(3), 4)
+    worlds = [base._replace(
+        vel=0.5 * jax.random.normal(kk, base.vel.shape, jnp.float32))
+        for kk in keys]
+    pin = np.zeros((16, 16), bool)
+    pin[0, :] = True
+    pinm = jnp.asarray(pin)
+    worlds = [w._replace(pin_mask=pinm, pin_pos=w.pos) for w in worlds]
+
+    batched = ClothState(
+        pos=jnp.stack([w.pos for w in worlds]),
+        vel=jnp.stack([w.vel for w in worlds]),
+        pin_mask=jnp.stack([pinm] * 4),
+        pin_pos=jnp.stack([w.pin_pos for w in worlds]),
+    )
+    m = pmesh.make_mesh((2, 4), ("worlds", "rows"), devices8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(m, P("worlds", None, "rows", None))
+    batched = ClothState(
+        pos=jax.device_put(batched.pos, sh),
+        vel=jax.device_put(batched.vel, sh),
+        pin_mask=jax.device_put(batched.pin_mask,
+                                NamedSharding(m, P("worlds", "rows", None))),
+        pin_pos=jax.device_put(batched.pin_pos, sh),
+    )
+    dt = jnp.float32(1 / 480)
+    out = pmesh.batched_spatial_multi_step(
+        batched, params, dt, 8, m, substeps_per_exchange=k,
+        use_kernel=use_kernel)
+    for i, w in enumerate(worlds):
+        ref = w
+        for _ in range(8):
+            ref = cloth.substep(ref, params, dt)
+        np.testing.assert_allclose(np.asarray(out.pos[i]),
+                                   np.asarray(ref.pos), atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(out.pos[i])[:, 0, :], np.asarray(w.pos)[:, 0, :])
+
+
 def test_halo_widening_with_pins(devices8):
     c = cfg.ClothConfig(height=16, width=16)
     params = ClothParams.from_config(c)

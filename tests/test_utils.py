@@ -106,7 +106,63 @@ def test_live_key_dispatch_drives_scene():
     assert s.time_scale == pytest.approx(ts0 * 0.8)
     assert viewer.handle_key(s, " ") == "pause"
     assert viewer.handle_key(s, "q") == "quit"
-    assert viewer.handle_key(s, "x") is None   # unbound key is a no-op
+    assert viewer.handle_key(s, "z") is None   # unbound key is a no-op
+
+
+def test_live_key_dispatch_full_panel():
+    """Every remaining egui control is key-reachable: light azimuth /
+    shininess / ks / specular toggle (globe.rs:491-545), speed damping and
+    the state-resetting particle-radius slider (cloth.rs:1409-1435)."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.models import scenes
+
+    s = scenes.ClothScene(config=cfg.ClothConfig(height=4, width=4),
+                          use_pallas=False)
+    p0 = np.asarray(s.light.position)
+    viewer.handle_key(s, "L")
+    p1 = np.asarray(s.light.position)
+    assert not np.allclose(p0, p1)
+    assert np.linalg.norm(p1) == pytest.approx(np.linalg.norm(p0), rel=1e-5)
+    assert p1[1] == p0[1]                      # azimuth only: y fixed
+    sh0 = s.light.shininess
+    viewer.handle_key(s, "S")
+    assert s.light.shininess == pytest.approx(min(sh0 * 1.25, 256.0))
+    ks0 = s.light.ks
+    viewer.handle_key(s, "k")
+    assert s.light.ks == pytest.approx(max(ks0 - 0.1, 0.0))
+    assert s.light.compute_specular
+    viewer.handle_key(s, "x")
+    assert not s.light.compute_specular
+    d0 = float(np.asarray(s.params.speed_damp))
+    viewer.handle_key(s, "d")
+    assert float(np.asarray(s.params.speed_damp)) == pytest.approx(d0 / 1.02)
+    # radius resets the cloth state, like the reference's slider
+    s.state = s.state._replace(pos=s.state.pos + 1.0)
+    r0 = float(np.asarray(s.params.particle_radius))
+    viewer.handle_key(s, "R")
+    assert float(np.asarray(s.params.particle_radius)) == pytest.approx(r0 * 1.1)
+    from wgpu_physics_engine_tpu.core.state import init_cloth_state
+
+    np.testing.assert_array_equal(np.asarray(s.state.pos),
+                                  np.asarray(init_cloth_state(s.config).pos))
+
+
+def test_status_line_readouts():
+    """The status line carries the reference's egui info labels
+    (cloth.rs:1438-1448): fps, instance count, spring count."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.core.topology import spring_counts
+    from wgpu_physics_engine_tpu.models import scenes
+
+    s = scenes.ClothScene(config=cfg.ClothConfig(height=4, width=4),
+                          use_pallas=False)
+    line = viewer.status_line(s, paused=True)
+    assert "inst 16" in line
+    assert f"springs {sum(spring_counts(4, 4))}" in line
+    assert "[paused]" in line
+    g = scenes.GlobeScene()
+    line = viewer.status_line(g)
+    assert f"verts {g.mesh.positions.shape[0]}" in line
 
 
 def test_live_noninteractive_runs(capsys):

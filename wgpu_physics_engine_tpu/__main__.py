@@ -50,8 +50,13 @@ def main(argv=None) -> int:
                    help="decode: directory of encoded frame_*.npy shards")
     p.add_argument("--png", action="store_true",
                    help="decode: also write per-world PNGs (else .npy only)")
-    p.add_argument("--quality", type=float, default=1.0,
-                   help="decode: quality used at encode time")
+    p.add_argument("--quality", type=float, default=None,
+                   help="codec quality (encode: quantization scale, default "
+                        "1.0; decode: normally read from the run's "
+                        "codec_meta.json sidecar)")
+    p.add_argument("--force-quality", action="store_true",
+                   help="decode: trust --quality even when the sidecar is "
+                        "missing or disagrees")
     args = p.parse_args(argv)
 
     from .core import config as cfg
@@ -72,6 +77,27 @@ def main(argv=None) -> int:
         if not paths:
             print(f"no frame_*.npy shards in {args.indir}")
             return 1
+        # quality comes from the run's sidecar — a wrong value silently
+        # rescales every decoded pixel, so refuse to guess
+        try:
+            meta = codec.read_meta(args.indir)
+        except FileNotFoundError:
+            meta = None
+        if meta is None:
+            if not args.force_quality:
+                print(f"{args.indir}: no codec_meta.json sidecar; pass "
+                      "--quality Q --force-quality to decode anyway")
+                return 1
+            quality = args.quality if args.quality is not None else 1.0
+        else:
+            quality = meta["quality"]
+            if (args.quality is not None and args.quality != quality
+                    and not args.force_quality):
+                print(f"--quality {args.quality} disagrees with the sidecar "
+                      f"({quality}); drop the flag or pass --force-quality")
+                return 1
+            if args.force_quality and args.quality is not None:
+                quality = args.quality
         n = 0
         for path in paths:
             enc = np.load(path)
@@ -79,7 +105,7 @@ def main(argv=None) -> int:
                 print(f"skip {path}: not a codec shard "
                       f"({enc.dtype}, {enc.shape})")
                 continue
-            imgs = codec.decode(enc, quality=args.quality)
+            imgs = codec.decode(enc, quality=quality)
             stem = os.path.splitext(os.path.basename(path))[0]
             np.save(os.path.join(args.outdir, f"{stem}_rgb.npy"), imgs)
             if args.png:
@@ -103,11 +129,17 @@ def main(argv=None) -> int:
 
         c = cfg.ClothConfig() if args.grid is None else cfg.ClothConfig(
             height=args.grid, width=args.grid)
+        quality = args.quality if args.quality is not None else 1.0
         gen = datagen.generate_trajectory_dataset(
             c, n_worlds=args.worlds, n_frames=args.frames, steps_per_frame=24,
             key=jax.random.key(0), fb_size=tuple(args.size),
-            randomize_cameras=args.random_cameras, codec_k=args.codec_k)
+            randomize_cameras=args.random_cameras, codec_k=args.codec_k,
+            codec_quality=quality)
         os.makedirs(args.outdir, exist_ok=True)
+        if args.codec_k is not None:
+            from .parallel import codec
+
+            codec.write_meta(args.outdir, args.codec_k, quality, args.size)
         writer = native.ShardWriter() if native.available() else None
         n = 0
         for f, imgs, _ in gen:

@@ -317,6 +317,14 @@ class ClothScene(_SceneBase):
     def instance_count(self) -> int:  # egui label (cloth.rs:1448)
         return self.config.num_particles
 
+    @property
+    def spring_count(self) -> int:
+        """egui "springs" info label (cloth.rs:1438-1448)."""
+        from ..core import topology
+
+        return sum(topology.spring_counts(self.config.height,
+                                          self.config.width))
+
 
 class GranularScene(_SceneBase):
     """Granular pile: the free-particle box (sim 4, C8) scaled from 10 to

@@ -148,7 +148,16 @@ def sphere_raster_tiled(camera_rot: jnp.ndarray, eye: jnp.ndarray,
     too large for the ring (close-ups), sit closer than ``znear + r``, or
     lie behind the camera go to a GLOBAL range appended at the sorted
     array's end that every tile also tests — an exact fallback, so the
-    binned path drops nothing, ever.
+    binned path drops nothing, ever. The binning margin accounts for the
+    off-axis silhouette elongation (1/cos² of the frustum corner angle)
+    and uses the sphere's NEAR depth, so it stays conservative at wide
+    FOV, not just the default camera.
+
+    Hit resolution matches :func:`sphere_raster` except on EXACT float
+    ties in hit distance t: the untiled kernel keeps the lowest original
+    instance id, this one the lowest bin-sorted index. Coincident-t
+    spheres (measure-zero except in symmetric synthetic scenes) may
+    therefore resolve differently; everything else is bit-equal.
 
     ``camera_rot`` [3,3] world→view, ``dirs`` [3, H, W] normalized world
     rays (pixel_rays convention: row 0 = NDC y=+1).
@@ -161,6 +170,10 @@ def sphere_raster_tiled(camera_rot: jnp.ndarray, eye: jnp.ndarray,
     ty_t, tx_t = h // th, w // tw
     n_tiles = ty_t * tx_t
     n = centers.shape[0]
+    # same SMEM budget as sphere_raster: the [4, N] instance table lives in
+    # SMEM; silently exceeding ~512 KB corrupts memory (the granular
+    # scalar-prefetch trap), so refuse loudly
+    assert n <= MAX_INSTANCES, f"{n} instances exceed SMEM budget"
     r = jnp.float32(radius)
 
     oc = (centers - eye[None, :]).astype(jnp.float32)          # [N, 3] world
@@ -171,8 +184,13 @@ def sphere_raster_tiled(camera_rot: jnp.ndarray, eye: jnp.ndarray,
     d = jnp.where(safe, depth, 1.0)
     col = ((cv[:, 0] / d) / (tan_half * aspect) + 1.0) * 0.5 * w - 0.5
     row = (1.0 - (cv[:, 1] / d) / tan_half) * 0.5 * h - 0.5
-    r_px = r / d * jnp.maximum(h / (2.0 * tan_half),
-                               w / (2.0 * tan_half * aspect))
+    # conservative pixel radius: near depth (d - r), scaled by the
+    # worst-case off-axis silhouette elongation 1/cos²θ_corner =
+    # 1 + tan²θ_corner (a sphere at the frustum corner projects up to
+    # that much larger than the on-axis formula predicts)
+    elong = 1.0 + tan_half * tan_half * (1.0 + aspect * aspect)
+    r_px = elong * r / (d - r) * jnp.maximum(h / (2.0 * tan_half),
+                                             w / (2.0 * tan_half * aspect))
     fits = safe & (1.5 * r_px + 2.0 < th)
     tx = jnp.clip((col // tw).astype(jnp.int32), 0, tx_t - 1)
     ty = jnp.clip((row // th).astype(jnp.int32), 0, ty_t - 1)

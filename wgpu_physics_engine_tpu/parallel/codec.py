@@ -114,6 +114,45 @@ def decode(coeffs: np.ndarray, quality: float = 1.0) -> np.ndarray:
     return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
+CODEC_VERSION = 1
+_META_NAME = "codec_meta.json"
+
+
+def write_meta(dirpath: str, k: int, quality: float,
+               fb_size) -> str:
+    """Write the self-describing sidecar (``codec_meta.json``) next to a
+    run's encoded shards. ``quality`` is NOT recoverable from shard shapes
+    — decoding with the wrong value silently rescales pixel magnitudes —
+    so every datagen run records it here and :func:`read_meta` refuses to
+    guess."""
+    import json
+    import os
+
+    meta = {"codec_version": CODEC_VERSION, "k": int(k),
+            "quality": float(quality),
+            "fb_size": [int(x) for x in fb_size]}
+    path = os.path.join(dirpath, _META_NAME)
+    with open(path, "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def read_meta(dirpath: str) -> dict:
+    """Read a run's codec sidecar. Raises ``FileNotFoundError`` when the
+    directory has none and ``ValueError`` on an unknown codec version."""
+    import json
+    import os
+
+    path = os.path.join(dirpath, _META_NAME)
+    with open(path) as f:
+        meta = json.load(f)
+    if meta.get("codec_version") != CODEC_VERSION:
+        raise ValueError(
+            f"{path}: codec_version {meta.get('codec_version')!r} != "
+            f"{CODEC_VERSION} (shards from an incompatible encoder)")
+    return meta
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio between two uint8 images, in dB."""
     mse = np.mean((np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2)

@@ -150,6 +150,7 @@ def generate_trajectory_dataset(
     use_pallas: bool = True,
     randomize_cameras: bool = False,
     codec_k: Optional[int] = None,
+    codec_quality: float = 1.0,
 ):
     """Yield (frame_idx, images, batch) host-side per frame.
 
@@ -175,12 +176,17 @@ def generate_trajectory_dataset(
     world_chunk = world_chunk or n_worlds
     dt = jnp.float32(1.0 / config.hz)
 
+    # chunk sizes: full chunks + a final short one so EVERY requested world
+    # is generated (n_worlds % world_chunk used to be silently dropped);
+    # the short chunk costs one extra compile of the step at its shape
+    n_full, rem = divmod(n_worlds, world_chunk)
+    chunk_sizes = [world_chunk] * n_full + ([rem] if rem else [])
     batches = []
     cameras = []
-    for i, k in enumerate(jax.random.split(key, n_worlds // world_chunk)):
-        batches.append(randomized_worlds(config, world_chunk, k))
+    for k, size in zip(jax.random.split(key, len(chunk_sizes)), chunk_sizes):
+        batches.append(randomized_worlds(config, size, k))
         if randomize_cameras:
-            cameras.append(randomized_cameras(world_chunk, jax.random.fold_in(k, 7)))
+            cameras.append(randomized_cameras(size, jax.random.fold_in(k, 7)))
         else:
             cameras.append(camera or R.make_camera(cfg.CameraConfig(), aspect=1.0))
 
@@ -195,7 +201,7 @@ def generate_trajectory_dataset(
                 batches[bi], dt, steps_per_frame, cameras[bi], globe_tex,
                 fb_size=fb_size, use_pallas=use_pallas)
             if codec_k is not None:
-                im = _codec.encode(im, k=codec_k)
+                im = _codec.encode(im, k=codec_k, quality=codec_quality)
             imgs_dev.append(im)      # async dispatch; no host sync here
         if pending is not None:
             pf, pdev = pending

@@ -208,30 +208,78 @@ def spatial_substep(state: ClothState, params: ClothParams, dt: jnp.ndarray,
 def batched_spatial_multi_step(state: ClothState, params: ClothParams,
                                dt: jnp.ndarray, n_steps: int, mesh: Mesh,
                                worlds_axis: str = "worlds",
-                               rows_axis: str = "rows") -> ClothState:
+                               rows_axis: str = "rows",
+                               substeps_per_exchange: int = 1,
+                               use_kernel=None) -> ClothState:
     """Composed 2-D parallelism: a batch of worlds (data-parallel over
     ``worlds_axis``) of spatially row-sharded cloths (halo exchange over
-    ``rows_axis``). pos/vel: ``[B, 3, H, W]``.
+    ``rows_axis``). pos/vel: ``[B, 3, H, W]``; optional per-world pins
+    (``pin_mask [B, H, W]``, ``pin_pos [B, 3, H, W]``).
 
     This is the full multi-chip step: DP over independent scenes × SP over
-    the grid, with per-substep ``ppermute`` halos riding ICI.
+    the grid. Halo ``ppermute``s ride ICI once every
+    ``substeps_per_exchange`` substeps (halo widening — stencil reach is
+    2 rows/substep, so a ``2K``-wide halo stays exact for K substeps), and
+    ``use_kernel`` steps each shard's halo-extended window with the fused
+    Pallas kernel (None = auto when the window fits its VMEM budget) —
+    the same in-chip rate as the single-chip kernel, not XLA rates. The
+    per-shard worlds batch is stepped with ``lax.map`` (a vmapped
+    pallas_call with SMEM operands is unsupported; sequential per-world
+    launches are what a single core would execute anyway).
     """
-    spec = P(worlds_axis, None, rows_axis, None)
+    k = substeps_per_exchange
+    assert n_steps % k == 0, "n_steps must be divisible by substeps_per_exchange"
+    h_local = state.pos.shape[-2] // mesh.shape[rows_axis]
+    assert HALO * k <= h_local, (
+        f"halo width {HALO * k} exceeds shard height {h_local}; lower "
+        "substeps_per_exchange or use fewer shards")
+    if use_kernel is None:
+        ext = (h_local + 2 * HALO * k) * state.pos.shape[-1]
+        from ..ops import cloth_pallas
 
-    def body(pos, vel):
+        use_kernel = ext <= cloth_pallas._VMEM_PARTICLE_LIMIT
+    has_pins = state.pin_mask is not None
+    spec = P(worlds_axis, None, rows_axis, None)
+    spec_mask = P(worlds_axis, rows_axis, None)
+
+    def one_world(args):
+        pos, vel, pinm, pinp = args
+        return _spatial_substep_local(pos, vel, pinm, pinp, params, dt,
+                                      rows_axis, substeps=k,
+                                      use_kernel=use_kernel)
+
+    def body(pos, vel, pinm, pinp):
         def one(carry, _):
             p, v = carry
-            p, v = jax.vmap(
-                lambda pp, vv: _spatial_substep_local(
-                    pp, vv, None, None, params, dt, rows_axis)
-            )(p, v)
+            p, v = jax.lax.map(one_world, (p, v, pinm, pinp))
             return (p, v), None
 
-        (p, v), _ = jax.lax.scan(one, (pos, vel), None, length=n_steps)
+        (p, v), _ = jax.lax.scan(one, (pos, vel), None, length=n_steps // k)
         return p, v
 
-    f = shard_map(body, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec))
-    new_pos, new_vel = jax.jit(f)(state.pos, state.vel)
+    if has_pins:
+        f = shard_map(body, mesh=mesh,
+                      in_specs=(spec, spec, spec_mask, spec),
+                      out_specs=(spec, spec), check_vma=False)
+        new_pos, new_vel = jax.jit(f)(state.pos, state.vel,
+                                      state.pin_mask, state.pin_pos)
+    else:
+        def body_nopin(pos, vel):
+            def one(carry, _):
+                p, v = carry
+                p, v = jax.lax.map(
+                    lambda a: _spatial_substep_local(
+                        a[0], a[1], None, None, params, dt, rows_axis,
+                        substeps=k, use_kernel=use_kernel), (p, v))
+                return (p, v), None
+
+            (p, v), _ = jax.lax.scan(one, (pos, vel), None,
+                                     length=n_steps // k)
+            return p, v
+
+        f = shard_map(body_nopin, mesh=mesh, in_specs=(spec, spec),
+                      out_specs=(spec, spec), check_vma=False)
+        new_pos, new_vel = jax.jit(f)(state.pos, state.vel)
     return state._replace(pos=new_pos, vel=new_vel)
 
 

@@ -76,7 +76,9 @@ def handle_key(scene, key: str):
     cloth.rs:1383-1451). Returns 'quit', 'pause', or None.
 
     Bindings: arrows orbit, +/- zoom, g/G gravity down/up 10%,
-    t/T time-scale, space pause, q quit."""
+    t/T time-scale, l/L light azimuth, s/S shininess, k/K specular ks,
+    x specular toggle, d/D speed damping, r/R particle radius (resets the
+    cloth, like the reference's slider), space pause, q quit."""
     if key == "left":
         scene.orbit(d_theta=-0.15)
     elif key == "right":
@@ -95,6 +97,31 @@ def handle_key(scene, key: str):
     elif key in "tT" and hasattr(scene, "set_time_scale"):
         s = float(scene.time_scale)
         scene.set_time_scale(s * (1.25 if key == "T" else 0.8))
+    elif key in "lL" and hasattr(scene, "set_light"):
+        # light azimuth: rotate position about y (globe.rs light sliders)
+        x, y, z = scene.light.position
+        a = 0.2 if key == "L" else -0.2
+        ca, sa = np.cos(a), np.sin(a)
+        scene.set_light(position=(ca * x + sa * z, y, -sa * x + ca * z))
+    elif key in "sS" and hasattr(scene, "set_light"):
+        sh = float(scene.light.shininess)
+        scene.set_light(shininess=float(np.clip(
+            sh * (1.25 if key == "S" else 0.8), 1.0, 256.0)))
+    elif key in "kK" and hasattr(scene, "set_light"):
+        ks = float(scene.light.ks)
+        scene.set_light(ks=float(np.clip(
+            ks + (0.1 if key == "K" else -0.1), 0.0, 10.0)))
+    elif key == "x" and hasattr(scene, "set_light"):
+        scene.set_light(compute_specular=not scene.light.compute_specular)
+    elif key in "dD" and hasattr(scene, "set_speed_damp"):
+        damp = float(np.asarray(scene.params.speed_damp))
+        scene.set_speed_damp(float(np.clip(
+            damp * (1.02 if key == "D" else 1 / 1.02), 1e-4, 1.0)))
+    elif key in "rR" and hasattr(scene, "set_particle_radius"):
+        # resets state, exactly like the reference's radius slider
+        # (cloth.rs:1427-1435)
+        r = float(np.asarray(scene.params.particle_radius))
+        scene.set_particle_radius(r * (1.1 if key == "R" else 1 / 1.1))
     elif key == " ":
         return "pause"
     elif key == "q":
@@ -102,7 +129,27 @@ def handle_key(scene, key: str):
     return None
 
 
-_HELP = "arrows orbit  +/- zoom  g/G gravity  t/T speed  space pause  q quit"
+_HELP = ("arrows orbit  +/- zoom  g/G gravity  t/T speed  l/L light  "
+         "s/S shin  k/K ks  x spec  d/D damp  r/R radius  space pause  q quit")
+
+
+def status_line(scene, paused: bool = False, help_text: bool = False) -> str:
+    """One-line scene readout: fps + the reference's egui info labels
+    (instance / spring / vertex counts, cloth.rs:1438-1448) when the scene
+    exposes them."""
+    parts = [f"fps {scene.clock.fps:5.1f}"]
+    if hasattr(scene, "instance_count"):
+        parts.append(f"inst {scene.instance_count}")
+    if hasattr(scene, "spring_count"):
+        parts.append(f"springs {scene.spring_count}")
+    if hasattr(scene, "mesh") and hasattr(scene.mesh, "positions"):
+        parts.append(f"verts {scene.mesh.positions.shape[0]}")
+    out = "  ".join(parts)
+    if paused:
+        out += " [paused]"
+    if help_text:
+        out += f"  |  {_HELP}"
+    return out
 
 
 def live(scene, seconds: float = 5.0, fps: int = 10, size=(128, 128),
@@ -163,9 +210,7 @@ def live(scene, seconds: float = 5.0, fps: int = 10, size=(128, 128),
             rows = frame.count("\n") + 1
             if i:
                 sys.stdout.write(f"\x1b[{rows + 1}F")   # cursor back up
-            status = f"fps {scene.clock.fps:5.1f}" + \
-                (" [paused]" if paused else "") + \
-                (f"  |  {_HELP}" if interactive else "")
+            status = status_line(scene, paused, help_text=interactive)
             sys.stdout.write(frame + f"\n{status}\x1b[K\n")
             sys.stdout.flush()
             _time.sleep(max(0.0, 1.0 / fps - (_time.time() - t0)))
