@@ -258,6 +258,32 @@ def test_self_collide_frozen_matches_exact():
                                atol=1e-5, rtol=0)
 
 
+def test_self_collide_spring_kernel_matches_xla():
+    """The fused spring+contact+integrate kernel (use_spring_kernel=True,
+    round-3 path) matches the XLA spring path on the same frozen windows
+    to stencil-order fp32 tolerance, pins included."""
+    c = cfg.ClothConfig(height=12, width=12, cloth_size=2.0,
+                        center=(0.0, 40.0, 0.0), particle_radius=0.12)
+    params = ClothParams.from_config(c)
+    state = cloth.multi_step(init_cloth_state(c), params,
+                             jnp.float32(1 / 480), 40)
+    mask = np.zeros((12, 12), bool)
+    mask[0, :3] = True
+    state = state._replace(pin_mask=jnp.asarray(mask), pin_pos=state.pos)
+    grid = cloth.default_self_collision_grid(c, skin=2 * c.particle_radius)
+    dt = jnp.float32(1 / 480)
+    a = cloth.multi_step_self_collide(state, params, dt, 12, grid,
+                                      rebuild_every=4,
+                                      use_spring_kernel=True)
+    b = cloth.multi_step_self_collide(state, params, dt, 12, grid,
+                                      rebuild_every=4,
+                                      use_spring_kernel=False)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               atol=1e-5, rtol=0)
+    np.testing.assert_array_equal(np.asarray(a.pos)[:, mask],
+                                  np.asarray(state.pos)[:, mask])
+
+
 def test_self_collide_frozen_repels_and_pins():
     """Frozen-path physics: folded sheets repel, pinned rows hold."""
     c = cfg.ClothConfig(height=8, width=8, cloth_size=2.0,

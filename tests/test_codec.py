@@ -176,6 +176,30 @@ def test_meta_sidecar_roundtrip(tmp_path):
         codec.read_meta(str(tmp_path / "nope"))
 
 
+def test_datagen_batched_prologue_matches_per_world():
+    """The vmapped raster-binning prologue + per-world kernel launches
+    (batch_binned=True, interpret mode on CPU) produce the same frames as
+    the plain per-world render path."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.parallel import datagen
+
+    c = cfg.ClothConfig(height=8, width=8)
+    batch = datagen.randomized_worlds(c, 3, jax.random.key(1))
+    cams = datagen.randomized_cameras(3, jax.random.key(2))
+    from wgpu_physics_engine_tpu.render import texture as T
+
+    tex = T.checkerboard(size=32)
+    dt = jnp.float32(1 / 480)
+    _, imgs_b = datagen.step_and_render(
+        batch, dt, 2, cams, tex, fb_size=(16, 128), use_pallas=False,
+        batch_binned=True)
+    _, imgs_p = datagen.step_and_render(
+        batch, dt, 2, cams, tex, fb_size=(16, 128), use_pallas=False,
+        batch_binned=False)
+    diff = np.abs(np.asarray(imgs_b).astype(int) - np.asarray(imgs_p).astype(int))
+    assert diff.max() <= 1         # fp-order-only differences round to ±1
+
+
 def test_datagen_world_chunk_remainder():
     """Requesting n_worlds not divisible by world_chunk generates ALL
     worlds via a final short chunk (regression: 100 worlds with chunk 64

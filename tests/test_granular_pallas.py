@@ -54,6 +54,30 @@ def test_pallas_matches_xla_frozen():
                                atol=1e-4, rtol=0)
 
 
+def test_subview_kernel_matches_dense():
+    """Kernel v3 (sub_block views: per-sub-block 128-lane views positioned
+    by static-roll chains) computes the same physics as the dense
+    [block, slab] path — identical candidate sets when nothing is
+    dropped."""
+    cfg_d = granular.GranularConfig(
+        num_particles=700, bounds=2.0, radius=0.08, restitution=0.4,
+        rebuild_every=4, pallas_block=128, pallas_slab=512)
+    cfg_v = granular.GranularConfig(
+        num_particles=700, bounds=2.0, radius=0.08, restitution=0.4,
+        rebuild_every=4, pallas_block=128, pallas_slab=512, sub_block=32)
+    state = granular.init_state(cfg_d, jax.random.PRNGKey(2))
+    dt = jnp.float32(1 / 240)
+    out_d, drop_d = granular.multi_step(state, cfg_d, dt, 10,
+                                        return_stats=True, backend="pallas")
+    out_v, drop_v = granular.multi_step(state, cfg_v, dt, 10,
+                                        return_stats=True, backend="pallas")
+    assert int(drop_d) == 0 and int(drop_v) == 0
+    np.testing.assert_allclose(np.asarray(out_v.pos), np.asarray(out_d.pos),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(out_v.vel), np.asarray(out_d.vel),
+                               atol=1e-5, rtol=0)
+
+
 def test_pallas_matches_brute_force_dense():
     """Dense 6^3 pile under gravity vs the O(N^2) reference — validates
     both window completeness (Verlet invariant) and the physics op order."""

@@ -150,8 +150,19 @@ def build_sorted_grid(pos: jnp.ndarray, vel: jnp.ndarray, spec: GridSpec,
                       origin=None) -> SortedGrid:
     n = pos.shape[-1]
     cid = cell_ids(pos, spec, origin)
-    order = jnp.argsort(cid, stable=True)
-    sorted_cid = cid[order]
+    # ONE multi-operand stable sort carries the state planes + iota through
+    # the sort network instead of argsort followed by seven 1M-index
+    # permutation gathers — random gathers from >cache tables run at
+    # ~60 ns/index on v5e, so carrying operands cuts the 1M rebuild's
+    # sort+reorder phase ~2.7× (67 → 25 ms; round-3 probe). Bitwise
+    # identical to the gather formulation (same permutation, same values).
+    out = jax.lax.sort(
+        [cid, jnp.arange(n, dtype=jnp.int32),
+         pos[0], pos[1], pos[2], vel[0], vel[1], vel[2]],
+        num_keys=1, is_stable=True)
+    sorted_cid, order = out[0], out[1]
+    sorted_pos = jnp.stack(out[2:5])
+    sorted_vel = jnp.stack(out[5:8])
     # cell_start[c] = #particles with cid < c, via histogram + exclusive
     # cumsum. A sorted-index scatter-add runs at data rate on TPU, unlike
     # dense searchsorted over num_cells queries (num_cells·log2(N) serial
@@ -163,9 +174,9 @@ def build_sorted_grid(pos: jnp.ndarray, vel: jnp.ndarray, spec: GridSpec,
         jnp.cumsum(counts).astype(jnp.int32),
         jnp.full((2,), n, jnp.int32),        # c in [num_cells, num_cells+2]
     ])
-    return SortedGrid(order=order.astype(jnp.int32), sorted_cid=sorted_cid,
+    return SortedGrid(order=order, sorted_cid=sorted_cid,
                       cell_start=cell_start,
-                      sorted_pos=pos[:, order], sorted_vel=vel[:, order])
+                      sorted_pos=sorted_pos, sorted_vel=sorted_vel)
 
 
 def pair_forces_sorted(grid: SortedGrid, spec: GridSpec, radius, k_contact,

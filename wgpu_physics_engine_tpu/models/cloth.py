@@ -227,20 +227,34 @@ def substep_self_collide(state: ClothState, params: ClothParams,
 
 def _self_collide_block(state: ClothState, params: ClothParams,
                         dt: jnp.ndarray, length: int, grid_spec,
-                        block: int, slab: int, interpret: bool):
+                        block: int, slab: int, interpret: bool,
+                        use_kernel: bool = True):
     """Frozen-window self-collision: one broad-phase rebuild + ``length``
-    substeps against it, contact narrow-phase via the slab-DMA Pallas
-    kernel (ops/granular_pallas.contact_forces_sorted). The sort ORDER is
-    frozen for the block; positions are re-gathered into it each substep
-    (two [N] permutation gathers/substep — cheap next to the per-substep
-    grid rebuild + window gathers it replaces).
+    substeps against it. The sort ORDER is frozen for the block;
+    positions are re-gathered into it each substep (two [N] permutation
+    gathers/substep — cheap next to the per-substep grid rebuild + window
+    gathers it replaces).
+
+    Per substep (round-3 layout; VERDICT-r2 item #1):
+
+    1. permute grid-layout positions into the frozen sorted order,
+    2. pair narrow phase via the slab-DMA kernel in THIN 3-group mode
+       (``granular_pallas.build_windows(thin=True)`` — the cloth is a
+       surface, so merged y/z column ranges hold ~a dozen candidates and
+       the dense [B, S] passes drop from 9 to 3, which was ~⅔ of the
+       whole substep),
+    3. permute pair forces back and run springs + f_self + integrate +
+       pins as ONE fused VMEM-resident kernel
+       (``cloth_pallas.substep_with_force``) instead of the ~1 ms XLA
+       stencil pass (``use_kernel=False`` keeps the XLA spring path —
+       the fp32 reference for tests).
 
     Valid while displacement between rebuilds stays under
     ``(cell_size - 2·particle_radius)/2`` (Verlet skin invariant — size
     the grid with ``default_self_collision_grid(..., skin=...)``).
     """
     from . import broadphase
-    from ..ops import granular_pallas
+    from ..ops import cloth_pallas, granular_pallas
 
     h, w = state.pos.shape[-2:]
     n = h * w
@@ -250,7 +264,7 @@ def _self_collide_block(state: ClothState, params: ClothParams,
     grid = broadphase.build_sorted_grid(flat_pos, flat_vel, grid_spec, origin)
     n_pad = -(-max(n, slab) // block) * block
     windows, off, dropped = granular_pallas.build_windows(
-        grid, grid_spec, block, slab, n_pad)
+        grid, grid_spec, block, slab, n_pad, thin=True)
     order = grid.order
     inv = jnp.argsort(order, stable=True)
     pad = n_pad - n
@@ -262,8 +276,12 @@ def _self_collide_block(state: ClothState, params: ClothParams,
         pos4 = jnp.pad(posc.T, ((0, 1), (0, 0)))      # sublane-aligned DMA
         f_sorted = granular_pallas.contact_forces_sorted(
             pos4, posc, windows, off, min_dist, params.k_contact,
-            block=block, slab=slab, n_real=n, interpret=interpret)
+            block=block, slab=slab, n_real=n, interpret=interpret,
+            thin=True)
         f_self = f_sorted[:n].T[:, inv].reshape(3, h, w)
+        if use_kernel:
+            return cloth_pallas.substep_with_force(
+                s, params, dt, f_self, interpret=interpret), None
         force = spring_forces(s.pos, s.vel, params) + f_self
         pos, vel = integrate(s.pos, s.vel, force, params, dt)
         if s.pin_mask is not None:
@@ -279,21 +297,28 @@ def _self_collide_block(state: ClothState, params: ClothParams,
 @functools.partial(jax.jit, static_argnames=("n_steps", "grid_spec",
                                              "rebuild_every", "pallas_block",
                                              "pallas_slab", "interpret",
-                                             "return_stats"))
+                                             "return_stats",
+                                             "use_spring_kernel"))
 def multi_step_self_collide(state: ClothState, params: ClothParams,
                             dt: jnp.ndarray, n_steps: int, grid_spec,
                             rebuild_every: int = 1,
                             pallas_block: int = 128, pallas_slab: int = 384,
                             interpret: Optional[bool] = None,
-                            return_stats: bool = False):
+                            return_stats: bool = False,
+                            use_spring_kernel: Optional[bool] = None):
     """``n_steps`` self-colliding substeps (BASELINE configs[3]).
 
     ``rebuild_every=1`` (default) rebuilds the spatial hash every substep
     (exact, XLA sorted-window path). ``rebuild_every=K>1`` freezes the
-    broad-phase for K substeps and runs the contact narrow-phase through
-    the slab-DMA Pallas kernel — ~10× faster at 256²; size the grid with
-    a skin (``default_self_collision_grid(..., skin=...)``) so the
-    Verlet invariant holds between rebuilds.
+    broad-phase for K substeps: the contact narrow-phase runs through the
+    slab-DMA Pallas kernel in thin 3-group mode, and springs + contact +
+    integrate + pins fuse into one VMEM-resident kernel per substep.
+    Size the grid with a skin (``default_self_collision_grid(...,
+    skin=...)``) so the Verlet invariant holds between rebuilds.
+
+    ``use_spring_kernel=False`` keeps the springs/integration on the XLA
+    stencil path (the fp32 reference used by the equivalence tests);
+    None = auto (on when the grid fits the fused kernel's VMEM budget).
 
     ``return_stats`` additionally returns the worst per-rebuild
     dropped-candidate count (frozen path only; 0 means the slabs covered
@@ -308,13 +333,19 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if use_spring_kernel is None:
+        from ..ops import cloth_pallas
+
+        h, w = state.pos.shape[-2:]
+        use_spring_kernel = h * w <= cloth_pallas._VMEM_PARTICLE_LIMIT
     k = rebuild_every
     n_outer, rem = divmod(n_steps, k)
 
     def outer(carry, _):
         s, dmax = carry
         s, d = _self_collide_block(s, params, dt, k, grid_spec,
-                                   pallas_block, pallas_slab, interpret)
+                                   pallas_block, pallas_slab, interpret,
+                                   use_kernel=use_spring_kernel)
         return (s, jnp.maximum(dmax, d)), None
 
     dmax = jnp.int32(0)
@@ -323,7 +354,8 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
                                         length=n_outer)
     if rem:
         state, d = _self_collide_block(state, params, dt, rem, grid_spec,
-                                       pallas_block, pallas_slab, interpret)
+                                       pallas_block, pallas_slab, interpret,
+                                       use_kernel=use_spring_kernel)
         dmax = jnp.maximum(dmax, d)
     return (state, dmax) if return_stats else state
 

@@ -54,6 +54,10 @@ class GranularConfig:
     rebuild_every: int = 8           # substeps per neighbor-list rebuild
     pallas_block: int = 128          # sorted particles per kernel block
     pallas_slab: int = 384           # slab width (candidates per group)
+    sub_block: int = 0               # >0: kernel v3 per-sub-block views
+    # (e.g. 32): dense pair math shrinks from [block, slab] to
+    # block/sub_block × [sub_block, 128] per group — ~2-3× less VPU work;
+    # sub-hulls wider than 128 slots are counted in the dropped telemetry
 
     @property
     def skin_value(self) -> float:
@@ -194,8 +198,13 @@ def _run_block_pallas(state: ParticleState, config: GranularConfig,
     # padded size: a multiple of block that also fits one slab (the slab
     # DMA source must cover [0, slab) even for tiny n)
     n_pad = -(-max(n, slab) // block) * block
-    windows, slab_start, dropped = granular_pallas.build_windows(
-        grid, spec, block, slab, n_pad)
+    views = None
+    if config.sub_block:
+        windows, slab_start, views, dropped = granular_pallas.build_windows(
+            grid, spec, block, slab, n_pad, sub_block=config.sub_block)
+    else:
+        windows, slab_start, dropped = granular_pallas.build_windows(
+            grid, spec, block, slab, n_pad)
     pad = n_pad - n
     # pad slots have empty windows and are never referenced by real
     # windows (ends <= n); park them outside the box and freeze them
@@ -214,7 +223,8 @@ def _run_block_pallas(state: ParticleState, config: GranularConfig,
         pos4 = jnp.pad(posc.T, ((0, 1), (0, 0)))   # sublane-aligned DMA src
         posc, velc = granular_pallas.substep_sorted(
             pos4, posc, velc, windows, slab_start, pvec,
-            block=block, slab=slab, n_real=n, interpret=interpret)
+            block=block, slab=slab, n_real=n, interpret=interpret,
+            sub_block=config.sub_block, views=views)
         return (posc, velc), None
 
     (posc, velc), _ = jax.lax.scan(inner, (posc, velc), None, length=length)

@@ -124,7 +124,7 @@ class TexturedCubeScene(_SceneBase):
                  light=cfg.LightConfig(), aspect=800 / 600):
         super().__init__(camera_cfg, light, aspect)
         self.mesh = R.DeviceMesh.from_host(R.geometry.cube_mesh(1.0))
-        self.texture = T.checkerboard() if texture is None else texture
+        self.texture = T.get("texture") if texture is None else texture
 
     def update(self, delta_time: Optional[float] = None) -> None:
         self.clock.tick()
@@ -146,7 +146,7 @@ class GlobeScene(_SceneBase):
                  aspect=800 / 600, use_mesh: bool = False):
         super().__init__(camera_cfg, light, aspect)
         self.config = config
-        self.texture = T.earth_gradient() if texture is None else texture
+        self.texture = T.get("moon1024") if texture is None else texture
         self.use_mesh = use_mesh
         self.mesh = R.DeviceMesh.from_host(R.geometry.generate_uv_sphere(
             config.radius, config.stack_count, config.sector_count))
@@ -177,7 +177,7 @@ class FreeParticleScene(_SceneBase):
         self.config = config
         self.params = ParticleParams.from_config(config)
         self.state = particles.init_state(config, jax.random.key(seed))
-        self.texture = T.earth_gradient() if texture is None else texture
+        self.texture = T.get("moon1024") if texture is None else texture
         self.time_scale = config.time_scale
 
     # egui sliders (instance.rs:924-981)
@@ -236,7 +236,7 @@ class ClothScene(_SceneBase):
         self.config = config
         self.params = ClothParams.from_config(config)
         self.state = init_cloth_state(config)
-        self.globe_texture = T.checkerboard() if globe_texture is None else globe_texture
+        self.globe_texture = T.get("mesh") if globe_texture is None else globe_texture
         self.particle_color = particle_color
         self.time_scale = config.time_scale
         self.use_pallas = use_pallas

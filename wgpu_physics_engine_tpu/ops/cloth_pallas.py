@@ -71,15 +71,29 @@ def _family_masks(h, w, dr, dc, dtype=jnp.float32):
 
 
 def _kernel(params_ref, *refs, h, w, n_steps, use_pins, fast_math=False,
-            window=False):
+            window=False, extra_force=False):
     """Fused multi-substep body. With ``window=True`` an extra leading
     ``window_ref`` (SMEM int32 [2] = (row0, h_global)) precedes the state
     refs: the block is a halo-extended window of a larger grid whose row 0
     sits at GLOBAL row ``row0`` (may be negative on the top boundary
     shard), and spring masks use global row validity — the shard-local
-    body of the distributed path (parallel/mesh.py)."""
+    body of the distributed path (parallel/mesh.py).
+
+    With ``extra_force=True`` a trailing ``fext_ref`` ([3, h, w] VMEM)
+    follows ``pinpos_ref``: a per-particle external force added to the
+    spring accumulation each substep (the cloth self-collision narrow
+    phase feeds its pair forces in here — models/cloth docstrings)."""
+    fext_ref = None
     if window:
-        window_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref, pos_out, vel_out = refs
+        if extra_force:
+            (window_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref, fext_ref,
+             pos_out, vel_out) = refs
+        else:
+            (window_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
+             pos_out, vel_out) = refs
+    elif extra_force:
+        (pos_ref, vel_ref, pinm_ref, pinpos_ref, fext_ref,
+         pos_out, vel_out) = refs
     else:
         pos_ref, vel_ref, pinm_ref, pinpos_ref, pos_out, vel_out = refs
     prm = lambda i: params_ref[i]
@@ -166,7 +180,12 @@ def _kernel(params_ref, *refs, h, w, n_steps, use_pins, fast_math=False,
             fy = fy - _shift(ey, -dr, -dc, h, w)
             fz = fz - _shift(ez, -dr, -dc, h, w)
 
+        # ---- external force (self-contact narrow phase), then
         # ---- integrate (compute_movement.wgsl:70-174) ----
+        if extra_force:
+            fx = fx + fext_ref[0]
+            fy = fy + fext_ref[1]
+            fz = fz + fext_ref[2]
         fy = fy + mass * gravity
 
         dist, inv_d = dist_inv(x * x + y * y + z * z)
@@ -324,6 +343,55 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
         ),
         interpret=interpret,
     )(pvec, state.pos, state.vel, pinm, pinpos)
+    return state._replace(pos=out_pos, vel=out_vel)
+
+
+def substep_with_force(state: ClothState, params: ClothParams,
+                       dt: jnp.ndarray, f_extra: jnp.ndarray,
+                       interpret: Optional[bool] = None,
+                       fast_math: bool = False) -> ClothState:
+    """ONE fused substep with an external per-particle force added to the
+    spring accumulation — springs + f_extra + contact/friction/integrate/
+    projection/pins in a single kernel launch. The cloth self-collision
+    loop uses this so only the pair narrow phase (the slab kernel) runs
+    outside; everything else stays VMEM-resident instead of the ~1 ms XLA
+    stencil pass per substep. fp32-identical op order to
+    ``cloth.substep_self_collide``'s spring+f_self accumulation."""
+    if interpret is None:
+        interpret = _default_interpret()
+    h, w = state.pos.shape[-2:]
+    use_pins = state.pin_mask is not None
+    pvec = _pack_params(params, dt)
+    if use_pins:
+        pinm = state.pin_mask.astype(jnp.float32)
+        pinpos = state.pin_pos
+    else:
+        pinm = jnp.zeros((1, 1), jnp.float32)
+        pinpos = jnp.zeros((3, 1, 1), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, h=h, w=w, n_steps=1, use_pins=use_pins,
+        fast_math=fast_math, extra_force=True)
+    out_pos, out_vel = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(pvec, state.pos, state.vel, pinm, pinpos, f_extra)
     return state._replace(pos=out_pos, vel=out_vel)
 
 

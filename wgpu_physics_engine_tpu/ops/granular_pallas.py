@@ -48,40 +48,75 @@ _NGP = 16        # group axis padded to a sublane-friendly width
 _NP = 6
 
 
+VIEW_W = 128     # lanes per sub-block view (kernel v3); one vreg width
+
+
 def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
-                  block: int, slab: int, n_pad: int
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                             jnp.ndarray]:
+                  block: int, slab: int, n_pad: int, thin: bool = False,
+                  sub_block: int = 0
+                  ) -> Tuple[jnp.ndarray, ...]:
     """Per-particle window ranges + per-block slab offsets (XLA, rebuild
     time).
 
-    For each sorted particle and each (dx, dy) group: the z-triple window
-    ``[start, end)`` into the sorted arrays (exactly the ranges
-    ``broadphase.pair_forces_sorted`` scans, but kept as ranges). Group
-    cells outside the grid get empty windows — mirroring the ``okxy``
-    masking there, which also prevents boundary-clamp duplicates.
+    Default (``thin=False``): for each sorted particle and each (dx, dy)
+    group, the z-triple window ``[start, end)`` into the sorted arrays
+    (exactly the ranges ``broadphase.pair_forces_sorted`` scans, but kept
+    as ranges). Group cells outside the grid get empty windows —
+    mirroring the ``okxy`` masking there, which also prevents
+    boundary-clamp duplicates.
 
-    Returns ``(windows [n_pad, 2*_NGP] int32, slab_start [nb, 2*_NG]
+    ``thin=True``: THREE dx-groups, each one merged contiguous range from
+    ``cell_start[lin(x+dx, y-1, z-1)]`` to ``cell_start[lin(x+dx, y+1,
+    z+1)+1]`` — a SUPERSET of the nine z-triple windows (it includes the
+    z-cells lying between the three y-columns' triples, which the
+    distance test rejects). For surface-like distributions (cloth
+    self-collision) whole cell-columns hold only ~a handful of particles,
+    so the superset costs little and the group count — the dense-math
+    multiplier in the kernel — drops 3×. Do NOT use for volumetric
+    (granular) fills: there the in-between z-cells hold the bulk of the
+    column and the merged window degenerates to ~3 full columns.
+
+    Returns ``(windows [n_pad, 2*NGP] int32, slab_start [nb, 2*NG]
     int32, dropped int32)`` where ``windows[:, g]`` = start of group g,
-    ``windows[:, _NGP+g]`` = end; ``slab_start[b, 2g]``/``[b, 2g+1]`` are
+    ``windows[:, NGP+g]`` = end; ``slab_start[b, 2g]``/``[b, 2g+1]`` are
     the 128-aligned A/B slab offsets of group g and ``dropped`` counts
     window entries outside both slabs (the kernel never sees them —
     nonzero means ``slab`` is undersized for this density).
     """
     n = grid.sorted_cid.shape[0]
+    ng, ngp = (3, 4) if thin else (_NG, _NGP)
     d1, d2 = spec.dims[1], spec.dims[2]
     cid = grid.sorted_cid.astype(jnp.int32)
     cx = cid // (d1 * d2)
     rem = cid - cx * (d1 * d2)
     c = jnp.stack([cx, rem // d2, rem - (rem // d2) * d2])
-    g_starts, g_ends, g_ok = broadphase.group_window_ranges(
-        c, spec, grid.cell_start)
+    if thin:
+        dims = jnp.asarray(spec.dims, jnp.int32)
+        y0 = jnp.maximum(c[1] - 1, 0)
+        y1 = jnp.minimum(c[1] + 1, dims[1] - 1)
+        z0 = jnp.maximum(c[2] - 1, 0)
+        z1 = jnp.minimum(c[2] + 1, dims[2] - 1)
+        starts_l, ends_l, oks_l = [], [], []
+        for dx in (-1, 0, 1):
+            okx = (c[0] + dx >= 0) & (c[0] + dx < dims[0])
+            ncx = jnp.clip(c[0] + dx, 0, dims[0] - 1)
+            lo = (ncx * d1 + y0) * d2 + z0
+            hi = (ncx * d1 + y1) * d2 + z1
+            starts_l.append(grid.cell_start[lo])
+            ends_l.append(grid.cell_start[hi + 1])
+            oks_l.append(okx)
+        g_starts = jnp.stack(starts_l, axis=-1)
+        g_ends = jnp.stack(ends_l, axis=-1)
+        g_ok = jnp.stack(oks_l, axis=-1)
+    else:
+        g_starts, g_ends, g_ok = broadphase.group_window_ranges(
+            c, spec, grid.cell_start)
     # empty windows (group cell off-grid) anchor at the particle's OWN
     # slot, not 0: [i, i) is just as empty but keeps the block's window
     # hull tight, so boundary blocks don't drag slab A to the array head
     # and burn slab B on the real candidates
     slot = jnp.arange(n, dtype=jnp.int32)[:, None]
-    starts = jnp.where(g_ok, g_starts, slot)             # [n, 9]
+    starts = jnp.where(g_ok, g_starts, slot)             # [n, ng]
     ends = jnp.where(g_ok, g_ends, slot)
     pad = n_pad - n
     nb = n_pad // block
@@ -98,9 +133,9 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     # pad rows hold the empty window [n, n): keeps the last block's hull
     # at the array tail instead of dragging smin to 0
     sblk = jnp.pad(sr, ((0, pad), (0, 0)),
-                   constant_values=n).reshape(nb, block, _NG)
+                   constant_values=n).reshape(nb, block, ng)
     eblk = jnp.pad(er, ((0, pad), (0, 0)),
-                   constant_values=n).reshape(nb, block, _NG)
+                   constant_values=n).reshape(nb, block, ng)
     smin = jnp.min(sblk, axis=1)                          # [nb, 9]
     emax = jnp.max(eblk, axis=1)
     # Slab A anchors the head of the block's window hull. When the block
@@ -127,8 +162,8 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     # ---- kernel operands ----
     # pad rows/columns hold the empty window [n, n) (columns 9..15 are
     # alignment only, never read)
-    starts = jnp.pad(starts, ((0, pad), (0, _NGP - _NG)), constant_values=n)
-    ends = jnp.pad(ends, ((0, pad), (0, _NGP - _NG)), constant_values=n)
+    starts = jnp.pad(starts, ((0, pad), (0, ngp - ng)), constant_values=n)
+    ends = jnp.pad(ends, ((0, pad), (0, ngp - ng)), constant_values=n)
     windows = jnp.concatenate([starts, ends], axis=-1)    # [n_pad, 32]
     # [nb_pad8, 18] (a, b interleaved per group): consumed as PER-BLOCK
     # SMEM rows (blocks of 8 — Mosaic's sublane granularity), NOT scalar
@@ -139,11 +174,65 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     off = off.reshape(off.shape[0], -1)
     pad8 = (-off.shape[0]) % 8
     off = jnp.pad(off, ((0, pad8), (0, 0)))
+
+    if sub_block:
+        # ---- per-sub-block views (round-3 kernel v3) ----
+        # The dense [block, slab] pair math wastes most lanes: slab must
+        # cover the whole BLOCK's window hull plus 128-alignment slack,
+        # while one SUB-block of ``sub_block`` sorted particles has a hull
+        # of only ~sub_block + window width. Each (group, sub) therefore
+        # gets a VIEW_W-lane view positioned at its own hull (8-lane
+        # granularity — the kernel realizes it with static-roll chains,
+        # since Mosaic has no dynamic lane slice), and the kernel's math
+        # shrinks from [block, slab] to nsub × [sub_block, VIEW_W] per
+        # group. Views live inside the A|B concat scratch; the encoded
+        # shift is the view's lane offset there, base its global slot.
+        nsub = block // sub_block
+        sb = sblk.reshape(nb, nsub, sub_block, ng)
+        eb = eblk.reshape(nb, nsub, sub_block, ng)
+        smin_s = jnp.min(sb, axis=2)                     # [nb, nsub, ng]
+        emax_s = jnp.max(eb, axis=2)
+        vs = (smin_s // 8) * 8
+        offa_s = offa[:, None, :]
+        offb_s = offb[:, None, :]
+        in_a = (vs >= offa_s) & (vs + VIEW_W <= offa_s + slab)
+        in_b = (vs >= offb_s) & (vs + VIEW_W <= offb_s + slab)
+        vs_a = jnp.clip(vs, offa_s, offa_s + slab - VIEW_W)
+        vs = jnp.where(in_a, vs, jnp.where(in_b, vs, vs_a))
+        shift = jnp.where(in_a | ~in_b, vs - offa_s, slab + vs - offb_s)
+        # drops vs the actual view coverage [vs, vs + VIEW_W)
+        vs_e = vs[:, :, None, :]
+        covered = jnp.maximum(
+            jnp.minimum(eb, vs_e + VIEW_W) - jnp.maximum(sb, vs_e), 0)
+        dropped_v = jnp.sum((eb - sb) - covered, dtype=jnp.float32)
+        dropped = jnp.minimum(dropped_v,
+                              jnp.float32(2**31 - 128)).astype(jnp.int32)
+        views = jnp.stack([shift, vs], axis=-1)          # [nb, nsub, ng, 2]
+        # kernel reads column (g * nsub + t) * 2 — group-major layout
+        views = views.transpose(0, 2, 1, 3).reshape(nb, -1).astype(jnp.int32)
+        views = jnp.pad(views, ((0, (-nb) % 8), (0, 0)))
+        return windows, off, views, dropped
     return windows, off, dropped
 
 
+def _extract_view(x, shift, width):
+    """[4, L] -> [4, width] lanes starting at traced ``shift`` (multiple of
+    8, <= L - width). Mosaic has no dynamic lane slice and its dynamic
+    pltpu.roll miscompiles (round-3 probe), so the shift is realized as a
+    chain of STATIC rolls selected by the shift's bits — ~log2(L) vector
+    selects, far cheaper than the dense lanes it saves."""
+    length = x.shape[-1]
+    bit = 8
+    while bit < length:
+        x = jnp.where((shift & bit) != 0, pltpu.roll(x, (-bit) % length,
+                                                     axis=1), x)
+        bit *= 2
+    return x[:, :width]
+
+
 def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
-                      slab_ref, slabs, facc, sems, *, block, slab):
+                      slab_ref, slabs, facc, sems, *, block, slab,
+                      ng=_NG, ngp=_NGP, views_ref=None, sub_block=0):
     """Shared contact-force phase: slab DMAs + dense masked pair math for
     sorted-block ``b = program_id(0)``.
 
@@ -162,16 +251,22 @@ def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
     b = pl.program_id(0)
     row = jax.lax.rem(b, 8)         # slab_ref holds 8 blocks' offset rows
     dmas = []
-    for g in range(_NG):
+    for g in range(ng):
         offa = pl.multiple_of(slab_ref[row, g * 2], 128)
         offb = pl.multiple_of(slab_ref[row, g * 2 + 1], 128)
         # full 4-row slices: Mosaic requires sublane-aligned DMA slices,
         # so the coordinate planes ride in a [4, Np] array (row 3 unused)
+        if sub_block:
+            dst_a = slabs.at[g, :, pl.ds(0, slab)]
+            dst_b = slabs.at[g, :, pl.ds(slab, slab)]
+        else:
+            dst_a = slabs.at[g, 0]
+            dst_b = slabs.at[g, 1]
         cpa = pltpu.make_async_copy(
-            pos3_hbm.at[:, pl.ds(offa, slab)], slabs.at[g, 0], sems.at[g, 0])
+            pos3_hbm.at[:, pl.ds(offa, slab)], dst_a, sems.at[g, 0])
         cpa.start()
         cpb = pltpu.make_async_copy(
-            pos3_hbm.at[:, pl.ds(offb, slab)], slabs.at[g, 1], sems.at[g, 1])
+            pos3_hbm.at[:, pl.ds(offb, slab)], dst_b, sems.at[g, 1])
 
         @pl.when(offb > offa)
         def _start_b(cpb=cpb):
@@ -207,12 +302,62 @@ def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
                 jnp.sum(w * dy, axis=1, keepdims=True),
                 jnp.sum(w * dz, axis=1, keepdims=True))
 
-    for g in range(_NG):
+    if sub_block:
+        # v3: per-sub-block views — nsub × [sub_block, VIEW_W] dense math
+        # per group instead of [block, slab]; window masks make any view
+        # overlap across groups/subs harmless (group windows are disjoint
+        # cell ranges).
+        nsub = block // sub_block
+        lane_v = jax.lax.broadcasted_iota(jnp.int32, (1, VIEW_W), 1)
+        for g in range(ng):
+            cpa, cpb = dmas[g]
+            offa = slab_ref[row, g * 2]
+            offb = slab_ref[row, g * 2 + 1]
+            cpa.wait()
+
+            @pl.when(offb > offa)
+            def _wait_b(cpb=cpb):
+                cpb.wait()
+
+            concat = slabs[g]                            # [4, 2*slab]
+            for t in range(nsub):
+                col = (g * nsub + t) * 2
+                shift = views_ref[row, col]
+                base = views_ref[row, col + 1]
+                view = _extract_view(concat, shift, VIEW_W)
+                lo = t * sub_block
+                hi = lo + sub_block
+                s_g = win_blk[lo:hi, g:g + 1]
+                e_g = win_blk[lo:hi, ngp + g:ngp + g + 1]
+                jg = lane_v + base
+                p_x = px[lo:hi]
+                p_y = py[lo:hi]
+                p_z = pz[lo:hi]
+                sf = selfs[lo:hi]
+                valid = (jg >= s_g) & (jg < e_g) & (jg != sf)
+                dx = p_x - view[0:1, :]
+                dy = p_y - view[1:2, :]
+                dz = p_z - view[2:3, :]
+                d2 = dx * dx + dy * dy + dz * dz
+                touching = valid & (d2 < min_dist * min_dist) & \
+                    (d2 > _EPS * _EPS)
+                inv = jax.lax.rsqrt(jnp.where(d2 > _EPS * _EPS, d2, 1.0))
+                wgt = jnp.where(touching,
+                                k_contact * (min_dist * inv - 1.0), 0.0)
+                facc[lo:hi, 0:1] += jnp.sum(wgt * dx, axis=1, keepdims=True)
+                facc[lo:hi, 1:2] += jnp.sum(wgt * dy, axis=1, keepdims=True)
+                facc[lo:hi, 2:3] += jnp.sum(wgt * dz, axis=1, keepdims=True)
+        fx = fx + facc[:, 0:1]
+        fy = fy + facc[:, 1:2]
+        fz = fz + facc[:, 2:3]
+        return px, py, pz, fx, fy, fz, selfs
+
+    for g in range(ng):
         cpa, cpb = dmas[g]
         offa = slab_ref[row, g * 2]
         offb = slab_ref[row, g * 2 + 1]
         s_g = win_blk[:, g:g + 1]                        # [B, 1]
-        e_g = win_blk[:, _NGP + g:_NGP + g + 1]
+        e_g = win_blk[:, ngp + g:ngp + g + 1]
         cpa.wait()
         sx, sy, sz = pair_sums(
             slabs[g, 0, 0:1, :], slabs[g, 0, 1:2, :], slabs[g, 0, 2:3, :],
@@ -238,11 +383,16 @@ def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
 
 
 def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
-            posc_out, velc_out, slabs, facc, sems, *, block, slab, n_real):
+            *rest, block, slab, n_real, sub_block=0):
     """One granular substep for sorted-block ``b = program_id(0)``:
     the shared pair-force phase, then gravity -> Euler -> wall clamp &
     reflect — op order matching models/granular._frozen_substep exactly.
     """
+    if sub_block:
+        views_ref, posc_out, velc_out, slabs, facc, sems = rest
+    else:
+        views_ref = None
+        posc_out, velc_out, slabs, facc, sems = rest
     min_dist = params_ref[0]
     k_contact = params_ref[1]
     gravity = params_ref[2]
@@ -252,7 +402,8 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
 
     px, py, pz, fx, fy, fz, selfs = _pair_force_phase(
         min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
-        slabs, facc, sems, block=block, slab=slab)
+        slabs, facc, sems, block=block, slab=slab,
+        views_ref=views_ref, sub_block=sub_block)
     alive = selfs < n_real
     fy = fy + gravity                                    # unit mass
 
@@ -280,13 +431,20 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
 
 
 def _forces_kernel(params_ref, pos3_hbm, posc_blk, win_blk, slab_ref,
-                   f_out, slabs, facc, sems, *, block, slab, n_real):
+                   *rest, block, slab, n_real, ng=_NG, ngp=_NGP,
+                   sub_block=0):
     """Force-only variant: write the pair contact-force sums and stop —
     the caller owns integration (cloth self-collision folds these into
     its spring-force accumulation, models/cloth.self_collision_forces)."""
+    if sub_block:
+        views_ref, f_out, slabs, facc, sems = rest
+    else:
+        views_ref = None
+        f_out, slabs, facc, sems = rest
     _, _, _, fx, fy, fz, selfs = _pair_force_phase(
         params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
-        slab_ref, slabs, facc, sems, block=block, slab=slab)
+        slab_ref, slabs, facc, sems, block=block, slab=slab, ng=ng, ngp=ngp,
+        views_ref=views_ref, sub_block=sub_block)
     alive = selfs < n_real
     f_out[:, 0:1] = jnp.where(alive, fx, 0.0)
     f_out[:, 1:2] = jnp.where(alive, fy, 0.0)
@@ -296,7 +454,9 @@ def _forces_kernel(params_ref, pos3_hbm, posc_blk, win_blk, slab_ref,
 def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                           windows: jnp.ndarray, slab_start: jnp.ndarray,
                           min_dist, k_contact, *, block: int, slab: int,
-                          n_real: int, interpret: bool) -> jnp.ndarray:
+                          n_real: int, interpret: bool,
+                          thin: bool = False, sub_block: int = 0,
+                          views=None) -> jnp.ndarray:
     """Pairwise penalty contact forces on padded SORTED positions.
 
     Same slab-DMA machinery as :func:`substep_sorted` but returns forces
@@ -306,39 +466,52 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
     """
     n_pad = posc.shape[0]
     nb = n_pad // block
+    ng, ngp = (3, 4) if thin else (_NG, _NGP)
     pvec = jnp.stack([jnp.asarray(min_dist, jnp.float32),
                       jnp.asarray(k_contact, jnp.float32)])
     kernel = functools.partial(_forces_kernel, block=block, slab=slab,
-                               n_real=n_real)
+                               n_real=n_real, ng=ng, ngp=ngp,
+                               sub_block=sub_block)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),        # params
+        pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
+        pl.BlockSpec((block, 3), lambda b: (b, 0)),
+        pl.BlockSpec((block, 2 * ngp), lambda b: (b, 0)),
+        pl.BlockSpec((8, 2 * ng), lambda b: (b // 8, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    operands = [pvec, pos3, posc, windows, slab_start]
+    if sub_block:
+        nsub = block // sub_block
+        in_specs.append(pl.BlockSpec((8, ng * nsub * 2),
+                                     lambda b: (b // 8, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(views)
+        slab_scratch = pltpu.VMEM((ng, 4, 2 * slab), jnp.float32)
+    else:
+        slab_scratch = pltpu.VMEM((ng, 2, 4, slab), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # params
-            pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
-            pl.BlockSpec((block, 3), lambda b: (b, 0)),
-            pl.BlockSpec((block, 2 * _NGP), lambda b: (b, 0)),
-            pl.BlockSpec((8, 2 * _NG), lambda b: (b // 8, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block, 3), lambda b: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_NG, 2, 4, slab), jnp.float32),
+            slab_scratch,
             pltpu.VMEM((block, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA((_NG, 2)),
+            pltpu.SemaphoreType.DMA((ng, 2)),
         ],
         out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(pvec, pos3, posc, windows, slab_start)
+    )(*operands)
 
 
 def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                    windows: jnp.ndarray, slab_start: jnp.ndarray,
                    params_vec: jnp.ndarray, *, block: int, slab: int,
-                   n_real: int, interpret: bool
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   n_real: int, interpret: bool, sub_block: int = 0,
+                   views=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One substep on padded SORTED state. ``pos3`` [4, Np] (DMA slab
     source; rows x/y/z + one dead alignment row), ``posc``/``velc``
     [Np, 3] (per-particle columns), ``windows`` [Np, 2*_NGP] int32,
@@ -348,29 +521,40 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
     n_pad = posc.shape[0]
     nb = n_pad // block
     kernel = functools.partial(_kernel, block=block, slab=slab,
-                               n_real=n_real)
+                               n_real=n_real, sub_block=sub_block)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),        # params
+        pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
+        pl.BlockSpec((block, 3), lambda b: (b, 0)),
+        pl.BlockSpec((block, 3), lambda b: (b, 0)),
+        pl.BlockSpec((block, 2 * _NGP), lambda b: (b, 0)),
+        # slab offsets: an [8, 18] SMEM tile per 8 blocks — bounded
+        # SMEM at any N (a flat scalar-prefetch array overflows
+        # ~512 KB of SMEM past ~7.3k blocks and corrupts memory
+        # without error)
+        pl.BlockSpec((8, 2 * _NG), lambda b: (b // 8, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    operands = [params_vec, pos3, posc, velc, windows, slab_start]
+    if sub_block:
+        nsub = block // sub_block
+        in_specs.append(pl.BlockSpec((8, _NG * nsub * 2),
+                                     lambda b: (b // 8, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(views)
+        slab_scratch = pltpu.VMEM((_NG, 4, 2 * slab), jnp.float32)
+    else:
+        slab_scratch = pltpu.VMEM((_NG, 2, 4, slab), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # params
-            pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
-            pl.BlockSpec((block, 3), lambda b: (b, 0)),
-            pl.BlockSpec((block, 3), lambda b: (b, 0)),
-            pl.BlockSpec((block, 2 * _NGP), lambda b: (b, 0)),
-            # slab offsets: an [8, 18] SMEM tile per 8 blocks — bounded
-            # SMEM at any N (a flat scalar-prefetch array overflows
-            # ~512 KB of SMEM past ~7.3k blocks and corrupts memory
-            # without error)
-            pl.BlockSpec((8, 2 * _NG), lambda b: (b // 8, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((block, 3), lambda b: (b, 0)),
             pl.BlockSpec((block, 3), lambda b: (b, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_NG, 2, 4, slab), jnp.float32),
+            slab_scratch,
             pltpu.VMEM((block, 4), jnp.float32),
             pltpu.SemaphoreType.DMA((_NG, 2)),
         ],
@@ -381,4 +565,4 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(params_vec, pos3, posc, velc, windows, slab_start)
+    )(*operands)

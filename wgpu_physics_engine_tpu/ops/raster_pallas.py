@@ -131,6 +131,125 @@ def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
     inst_out[...] = inst
 
 
+def tiled_prologue(camera_rot: jnp.ndarray, eye: jnp.ndarray,
+                   centers: jnp.ndarray, radius, znear, tan_half, aspect,
+                   h: int, w: int, tile_h: int = 8
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The XLA binning half of :func:`sphere_raster_tiled`: project centers,
+    bin by screen tile, sort, build per-tile candidate windows.
+
+    Split out so batched renderers (datagen) can ``vmap`` it across worlds
+    in ONE program — inside a per-world ``lax.map`` these small ops
+    (argsort of N, histogram, cumsum) serialize and dominate the render
+    floor (~0.5 of 1.4 ms/world at 512×256²; VERDICT-r2 weak #6).
+
+    Returns ``(wins [T8, 8] int32, ocb [4, N] f32, order [N] int32)`` —
+    everything the kernel launch needs besides the ray grid.
+    """
+    th, tw = tile_h, 128
+    assert h % th == 0 and w % tw == 0
+    ty_t, tx_t = h // th, w // tw
+    n_tiles = ty_t * tx_t
+    n = centers.shape[0]
+    r = jnp.float32(radius)
+
+    oc = (centers - eye[None, :]).astype(jnp.float32)          # [N, 3] world
+    cc = jnp.sum(oc * oc, axis=1) - r * r
+    cv = oc @ camera_rot.T                                     # [N, 3] view
+    depth = -cv[:, 2]
+    safe = depth > (znear + r)
+    d = jnp.where(safe, depth, 1.0)
+    col = ((cv[:, 0] / d) / (tan_half * aspect) + 1.0) * 0.5 * w - 0.5
+    row = (1.0 - (cv[:, 1] / d) / tan_half) * 0.5 * h - 0.5
+    # conservative pixel radius: near depth (d - r), scaled by the
+    # worst-case off-axis silhouette elongation 1/cos²θ_corner =
+    # 1 + tan²θ_corner (a sphere at the frustum corner projects up to
+    # that much larger than the on-axis formula predicts)
+    elong = 1.0 + tan_half * tan_half * (1.0 + aspect * aspect)
+    r_px = elong * r / (d - r) * jnp.maximum(h / (2.0 * tan_half),
+                                             w / (2.0 * tan_half * aspect))
+    fits = safe & (1.5 * r_px + 2.0 < th)
+    tx = jnp.clip((col // tw).astype(jnp.int32), 0, tx_t - 1)
+    ty = jnp.clip((row // th).astype(jnp.int32), 0, ty_t - 1)
+    tid = jnp.where(fits, ty * tx_t + tx, n_tiles)     # unbinnable -> global
+
+    order = jnp.argsort(tid, stable=True)
+    counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[tid[order]].add(
+        1, indices_are_sorted=True)
+    tile_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(counts).astype(jnp.int32)])
+
+    # per-tile windows: 3 row-ring ranges (x-ring is contiguous in the
+    # x-minor tile order) + the global range
+    tys = jnp.arange(ty_t, dtype=jnp.int32)[:, None]           # [TY, 1]
+    txs = jnp.arange(tx_t, dtype=jnp.int32)[None, :]           # [1, TX]
+    wins = []
+    for dy in (-1, 0, 1):
+        oky = (tys + dy >= 0) & (tys + dy < ty_t)
+        nty = jnp.clip(tys + dy, 0, ty_t - 1)
+        x0 = jnp.maximum(txs - 1, 0)
+        x1 = jnp.minimum(txs + 1, tx_t - 1)
+        s = tile_start[nty * tx_t + x0]
+        e = tile_start[nty * tx_t + x1 + 1]
+        wins.append(jnp.where(oky, s, 0).reshape(-1))
+        wins.append(jnp.where(oky, e, 0).reshape(-1))
+    gs = jnp.broadcast_to(tile_start[n_tiles], (n_tiles,))
+    ge = jnp.broadcast_to(jnp.int32(n), (n_tiles,))
+    wins = jnp.stack(wins + [gs, ge], axis=-1)                 # [T, 8]
+    pad8 = (-n_tiles) % 8
+    wins = jnp.pad(wins, ((0, pad8), (0, 0)))
+
+    ocb = jnp.concatenate([oc[order].T, cc[order][None]], axis=0)  # [4, N]
+    return wins, ocb, order.astype(jnp.int32)
+
+
+def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
+                               order: jnp.ndarray, dirs: jnp.ndarray, znear,
+                               tile_h: int = 8,
+                               interpret: Optional[bool] = None
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Kernel half of :func:`sphere_raster_tiled`: consume prebuilt bins
+    (from :func:`tiled_prologue`, possibly computed batched across worlds)
+    and return ``(tmin, inst)`` in original instance ids."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = dirs.shape[-2:]
+    th, tw = tile_h, 128
+    ty_t, tx_t = h // th, w // tw
+    n_tiles = ty_t * tx_t
+    n = order.shape[0]
+    scal = jnp.asarray([znear], jnp.float32)
+    kernel = functools.partial(_tiled_kernel, th=th, tw=tw, tx_tiles=tx_t)
+    tmin, inst_sorted = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # znear
+            pl.BlockSpec((8, 8), lambda t: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # oc table
+            pl.BlockSpec((3, th, tw),
+                         lambda t: (0, t // tx_t, jax.lax.rem(t, tx_t))),
+        ],
+        out_specs=(
+            pl.BlockSpec((th, tw),
+                         lambda t: (t // tx_t, jax.lax.rem(t, tx_t))),
+            pl.BlockSpec((th, tw),
+                         lambda t: (t // tx_t, jax.lax.rem(t, tx_t))),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(scal, wins, ocb, dirs)
+    hit = inst_sorted >= 0
+    inst = jnp.where(hit, order[jnp.clip(inst_sorted, 0, n - 1)], -1)
+    return tmin, inst
+
+
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
 def sphere_raster_tiled(camera_rot: jnp.ndarray, eye: jnp.ndarray,
                         dirs: jnp.ndarray, centers: jnp.ndarray, radius,
@@ -162,95 +281,13 @@ def sphere_raster_tiled(camera_rot: jnp.ndarray, eye: jnp.ndarray,
     ``camera_rot`` [3,3] world→view, ``dirs`` [3, H, W] normalized world
     rays (pixel_rays convention: row 0 = NDC y=+1).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     h, w = dirs.shape[-2:]
-    th, tw = tile_h, 128
-    assert h % th == 0 and w % tw == 0
-    ty_t, tx_t = h // th, w // tw
-    n_tiles = ty_t * tx_t
     n = centers.shape[0]
     # same SMEM budget as sphere_raster: the [4, N] instance table lives in
     # SMEM; silently exceeding ~512 KB corrupts memory (the granular
     # scalar-prefetch trap), so refuse loudly
     assert n <= MAX_INSTANCES, f"{n} instances exceed SMEM budget"
-    r = jnp.float32(radius)
-
-    oc = (centers - eye[None, :]).astype(jnp.float32)          # [N, 3] world
-    cc = jnp.sum(oc * oc, axis=1) - r * r
-    cv = oc @ camera_rot.T                                     # [N, 3] view
-    depth = -cv[:, 2]
-    safe = depth > (znear + r)
-    d = jnp.where(safe, depth, 1.0)
-    col = ((cv[:, 0] / d) / (tan_half * aspect) + 1.0) * 0.5 * w - 0.5
-    row = (1.0 - (cv[:, 1] / d) / tan_half) * 0.5 * h - 0.5
-    # conservative pixel radius: near depth (d - r), scaled by the
-    # worst-case off-axis silhouette elongation 1/cos²θ_corner =
-    # 1 + tan²θ_corner (a sphere at the frustum corner projects up to
-    # that much larger than the on-axis formula predicts)
-    elong = 1.0 + tan_half * tan_half * (1.0 + aspect * aspect)
-    r_px = elong * r / (d - r) * jnp.maximum(h / (2.0 * tan_half),
-                                             w / (2.0 * tan_half * aspect))
-    fits = safe & (1.5 * r_px + 2.0 < th)
-    tx = jnp.clip((col // tw).astype(jnp.int32), 0, tx_t - 1)
-    ty = jnp.clip((row // th).astype(jnp.int32), 0, ty_t - 1)
-    tid = jnp.where(fits, ty * tx_t + tx, n_tiles)     # unbinnable -> global
-
-    order = jnp.argsort(tid, stable=True)
-    counts = jnp.zeros((n_tiles + 1,), jnp.int32).at[tid[order]].add(
-        1, indices_are_sorted=True)
-    tile_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                  jnp.cumsum(counts).astype(jnp.int32)])
-
-    # per-tile windows: 3 row-ring ranges (x-ring is contiguous in the
-    # x-minor tile order) + the global range, + znear as a per-row scalar
-    tys = jnp.arange(ty_t, dtype=jnp.int32)[:, None]           # [TY, 1]
-    txs = jnp.arange(tx_t, dtype=jnp.int32)[None, :]           # [1, TX]
-    wins = []
-    for dy in (-1, 0, 1):
-        oky = (tys + dy >= 0) & (tys + dy < ty_t)
-        nty = jnp.clip(tys + dy, 0, ty_t - 1)
-        x0 = jnp.maximum(txs - 1, 0)
-        x1 = jnp.minimum(txs + 1, tx_t - 1)
-        s = tile_start[nty * tx_t + x0]
-        e = tile_start[nty * tx_t + x1 + 1]
-        wins.append(jnp.where(oky, s, 0).reshape(-1))
-        wins.append(jnp.where(oky, e, 0).reshape(-1))
-    gs = jnp.broadcast_to(tile_start[n_tiles], (n_tiles,))
-    ge = jnp.broadcast_to(jnp.int32(n), (n_tiles,))
-    wins = jnp.stack(wins + [gs, ge], axis=-1)                 # [T, 8]
-    pad8 = (-n_tiles) % 8
-    wins = jnp.pad(wins, ((0, pad8), (0, 0)))
-    scal = jnp.asarray([znear], jnp.float32)
-
-    ocb = jnp.concatenate([oc[order].T, cc[order][None]], axis=0)  # [4, N]
-
-    kernel = functools.partial(_tiled_kernel, th=th, tw=tw, tx_tiles=tx_t)
-    tmin, inst_sorted = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # znear
-            pl.BlockSpec((8, 8), lambda t: (t // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # oc table
-            pl.BlockSpec((3, th, tw),
-                         lambda t: (0, t // tx_t, jax.lax.rem(t, tx_t))),
-        ],
-        out_specs=(
-            pl.BlockSpec((th, tw),
-                         lambda t: (t // tx_t, jax.lax.rem(t, tx_t))),
-            pl.BlockSpec((th, tw),
-                         lambda t: (t // tx_t, jax.lax.rem(t, tx_t))),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.int32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(scal, wins, ocb, dirs)
-    hit = inst_sorted >= 0
-    inst = jnp.where(hit, order[jnp.clip(inst_sorted, 0, n - 1)], -1)
-    return tmin, inst
+    wins, ocb, order = tiled_prologue(camera_rot, eye, centers, radius,
+                                      znear, tan_half, aspect, h, w, tile_h)
+    return sphere_raster_tiled_binned(wins, ocb, order, dirs, znear, tile_h,
+                                      interpret)

@@ -78,25 +78,29 @@ def randomized_cameras(n_worlds: int, key: jax.Array,
 
 def _render_world(pos: jnp.ndarray, camera: R.Camera, globe_radius,
                   particle_radius, globe_tex, light: cfg.LightConfig,
-                  fb_size: Tuple[int, int], chunk: int) -> jnp.ndarray:
+                  fb_size: Tuple[int, int], chunk: int,
+                  binned=None) -> jnp.ndarray:
     h, w = fb_size
     fb = R.clear(h, w)
     fb = R.draw_globe(fb, camera, globe_radius, globe_tex, light)
     centers = pos.reshape(3, -1).T
     fb = R.draw_instanced_spheres(fb, camera, centers, particle_radius,
-                                  light, chunk=chunk)
+                                  light, chunk=chunk, binned=binned)
     return fb.color
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "fb_size", "chunk",
-                                             "use_pallas", "as_uint8"))
+                                             "use_pallas", "as_uint8",
+                                             "batch_binned"))
 def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
                     camera: R.Camera, globe_tex: jnp.ndarray,
                     light: cfg.LightConfig = cfg.LightConfig(),
                     fb_size: Tuple[int, int] = (256, 256),
                     chunk: int = 512,
                     use_pallas: bool = True,
-                    as_uint8: bool = True) -> Tuple[WorldBatch, jnp.ndarray]:
+                    as_uint8: bool = True,
+                    batch_binned: Optional[bool] = None
+                    ) -> Tuple[WorldBatch, jnp.ndarray]:
     """Advance every world ``n_steps`` substeps, then render each to a
     framebuffer. Returns (new batch, images [B, h, w, 3] — uint8 by default:
     device→host egress is the datagen bottleneck, 4× smaller than fp32).
@@ -117,26 +121,57 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
             lambda s, p: cloth.multi_step(s, p, dt, n_steps)
         )(batch.state, batch.params)
 
+    n_worlds = batch.state.pos.shape[0]
+    cams = camera if batched_cam else jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_worlds,) + x.shape), camera)
+
+    # Batched raster prologue: the tile-binning half of the sphere kernel
+    # (project/argsort/histogram/windows) is small XLA work with NO
+    # batching constraint — inside the per-world map it serializes and
+    # costs ~0.5 of the 1.4 ms/world render floor. Compute it for ALL
+    # worlds in one vmapped program; only the kernel launch (SMEM scalars,
+    # unvmappable) stays per-world.
+    fbh, fbw = fb_size
+    n_inst = batch.state.pos.shape[-2] * batch.state.pos.shape[-1]
+    if batch_binned is None:
+        from ..ops import raster_pallas as _rp
+
+        batch_binned = (jax.default_backend() == "tpu"
+                        and fbh % 16 == 0 and fbw % 128 == 0
+                        and n_inst <= _rp.MAX_INSTANCES)
+    binned = None
+    if batch_binned:
+        from ..ops import raster_pallas as _rp
+
+        binned = jax.vmap(
+            lambda cam, st, pr: _rp.tiled_prologue(
+                cam.view[:3, :3], cam.eye, st.pos.reshape(3, -1).T, pr,
+                cam.znear, jnp.tan(cam.fovy_rad / 2.0), cam.aspect,
+                fbh, fbw)
+        )(cams, new_state, batch.params.particle_radius)
+
     def rend(args):
-        state, params, cam = args
+        state, params, cam, bn = args
         img = _render_world(state.pos, cam, params.globe_radius,
                             params.particle_radius, globe_tex, light,
-                            fb_size, chunk)
+                            fb_size, chunk, binned=bn)
         if as_uint8:
             # cast per world so the map accumulates uint8, not fp32
             # (4096 worlds × 256² fp32 would be 3.2 GB of HBM)
             img = (jnp.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
         return img
 
-    n_worlds = batch.state.pos.shape[0]
-    cams = camera if batched_cam else jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (n_worlds,) + x.shape), camera)
     # sequential map (no batch_size → no vmap): a vmap would (a) batch the
     # Pallas raster kernel's SMEM scalars, which Mosaic rejects, and
     # (b) materialize [worlds, pixels, chunk] intermediates in the XLA path
-    # (64 GB at 512 worlds x 256^2). One world renders in ~3 ms on chip, so
-    # sequential costs nothing.
-    images = jax.lax.map(rend, (new_state, batch.params, cams))
+    # (64 GB at 512 worlds x 256^2). One world renders in ~1.4 ms on chip,
+    # so sequential costs little.
+    if binned is not None:
+        images = jax.lax.map(rend, (new_state, batch.params, cams, binned))
+    else:
+        images = jax.lax.map(
+            lambda a: rend((a[0], a[1], a[2], None)),
+            (new_state, batch.params, cams))
     return WorldBatch(state=new_state, params=batch.params), images
 
 
@@ -172,7 +207,7 @@ def generate_trajectory_dataset(
     """
     import numpy as np
 
-    globe_tex = T.checkerboard() if globe_tex is None else globe_tex
+    globe_tex = T.get("mesh") if globe_tex is None else globe_tex
     world_chunk = world_chunk or n_worlds
     dt = jnp.float32(1.0 / config.hz)
 

@@ -115,6 +115,7 @@ def draw_instanced_spheres(
     lit: bool = False,
     chunk: int = 512,
     use_kernel: Optional[bool] = None,
+    binned=None,
 ) -> Framebuffer:
     """Instanced sphere pass — the analytic replacement for the cloth/
     particle instanced draw (cloth.rs:1366-1379; 3,600 instances × 48,384
@@ -127,6 +128,11 @@ def draw_instanced_spheres(
 
     Nearest hit over N instances via chunked min-reduction; the per-chunk
     ray·center dot products are one [P,3]×[3,K] matmul (MXU).
+
+    ``binned``: optional precomputed ``(wins, ocb, order)`` from
+    ``ops.raster_pallas.tiled_prologue`` — batched renderers (datagen)
+    compute the binning for ALL worlds in one vmapped program and hand
+    each world's tables in here, skipping the per-world XLA prologue.
     """
     h, w = fb.depth.shape
     eye, dirs = pixel_rays(camera, h, w)
@@ -139,10 +145,13 @@ def draw_instanced_spheres(
         use_kernel = (jax.default_backend() == "tpu"
                       and n <= raster_pallas.MAX_INSTANCES)
 
-    if use_kernel:
+    if use_kernel or binned is not None:
         from ..ops import raster_pallas
 
-        if h % 16 == 0 and w % 128 == 0:
+        if binned is not None:
+            tmin_hw, inst_hw = raster_pallas.sphere_raster_tiled_binned(
+                *binned, dirs, camera.znear)
+        elif h % 16 == 0 and w % 128 == 0:
             # tile-binned: each (16, 128) pixel tile tests only instances
             # whose projected center lands in its tile ring (~5-10x less
             # VPU work; bit-exact vs the untiled kernel incl. a global
