@@ -19,6 +19,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compile cache: the suite is compile-bound on the 1-CPU CI
+# host (~150 jit programs), and the programs are identical run-to-run.
+# First run populates ~/.cache/wpe_xla_cache; repeat runs cut most of the
+# compile wall-time. Delete the directory to force clean compiles.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/wpe_xla_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert len(jax.devices()) >= 8, (
     "tests expect the 8-device virtual CPU mesh; got "
     f"{jax.devices()}"

@@ -78,6 +78,27 @@ def test_subview_kernel_matches_dense():
                                atol=1e-5, rtol=0)
 
 
+def test_pipelined_kernel_matches_unpipelined():
+    """Cross-block DMA double buffering must not change a single bit:
+    identical slabs, identical math, only prefetch timing differs.
+    N=1500 gives 12 blocks — the prefetch path crosses the 8-row
+    offset-tile boundary, where a round-3 windowing bug (BlockSpec index
+    maps stride in block-shape units) once made blocks 8+ DMA from
+    garbage offsets."""
+    base = dict(num_particles=1500, bounds=2.0, radius=0.08, restitution=0.4,
+                rebuild_every=4, pallas_block=128, pallas_slab=512)
+    cfg_p = granular.GranularConfig(**base, pipeline=True)
+    cfg_u = granular.GranularConfig(**base, pipeline=False)
+    state = granular.init_state(cfg_p, jax.random.PRNGKey(3))
+    dt = jnp.float32(1 / 240)
+    out_p = granular.multi_step(state, cfg_p, dt, 10, backend="pallas")
+    out_u = granular.multi_step(state, cfg_u, dt, 10, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(out_p.pos),
+                                  np.asarray(out_u.pos))
+    np.testing.assert_array_equal(np.asarray(out_p.vel),
+                                  np.asarray(out_u.vel))
+
+
 def test_pallas_matches_brute_force_dense():
     """Dense 6^3 pile under gravity vs the O(N^2) reference — validates
     both window completeness (Verlet invariant) and the physics op order."""
@@ -155,7 +176,8 @@ def test_build_windows_invariants():
     # pad rows hold the empty window [n, n)
     assert (starts[n:] == n).all() and (ends[n:] == n).all()
     # off: 128-aligned, in range, rows padded to a multiple of 8
-    assert off.shape == ((n_pad // 128 + 7) // 8 * 8, 18)
+    # +8 rows: the pipelined kernel reads row+1 through a 16-row window
+    assert off.shape == ((n_pad // 128 + 7) // 8 * 8 + 8, 18)
     assert (off % 128 == 0).all()
     assert off.min() >= 0 and off.max() <= n_pad - 512
     # every nonempty window is covered by slab A or slab B here

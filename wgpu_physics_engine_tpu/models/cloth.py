@@ -277,7 +277,7 @@ def _self_collide_block(state: ClothState, params: ClothParams,
         f_sorted = granular_pallas.contact_forces_sorted(
             pos4, posc, windows, off, min_dist, params.k_contact,
             block=block, slab=slab, n_real=n, interpret=interpret,
-            thin=True)
+            thin=True, pipelined=True)
         f_self = f_sorted[:n].T[:, inv].reshape(3, h, w)
         if use_kernel:
             return cloth_pallas.substep_with_force(

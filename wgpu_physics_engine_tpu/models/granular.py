@@ -56,8 +56,13 @@ class GranularConfig:
     pallas_slab: int = 384           # slab width (candidates per group)
     sub_block: int = 0               # >0: kernel v3 per-sub-block views
     # (e.g. 32): dense pair math shrinks from [block, slab] to
-    # block/sub_block × [sub_block, 128] per group — ~2-3× less VPU work;
-    # sub-hulls wider than 128 slots are counted in the dropped telemetry
+    # block/sub_block × [sub_block, 128] per group — measured a wash on
+    # v5e (static-roll chains ≈ saved lanes) and sub-hulls straddling
+    # cell-column jumps land in the dropped telemetry; kept as an option
+    pipeline: bool = True            # cross-block slab-DMA double
+    # buffering: block b prefetches block b+1's slabs before its math —
+    # hides the DMA latency that is ~40% of the dense kernel's time
+    # (ignored when sub_block > 0)
 
     @property
     def skin_value(self) -> float:
@@ -224,7 +229,8 @@ def _run_block_pallas(state: ParticleState, config: GranularConfig,
         posc, velc = granular_pallas.substep_sorted(
             pos4, posc, velc, windows, slab_start, pvec,
             block=block, slab=slab, n_real=n, interpret=interpret,
-            sub_block=config.sub_block, views=views)
+            sub_block=config.sub_block, views=views,
+            pipelined=config.pipeline and not config.sub_block)
         return (posc, velc), None
 
     (posc, velc), _ = jax.lax.scan(inner, (posc, velc), None, length=length)

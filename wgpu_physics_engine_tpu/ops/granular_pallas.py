@@ -173,7 +173,9 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     off = jnp.stack([offa, offb], axis=-1).astype(jnp.int32)
     off = off.reshape(off.shape[0], -1)
     pad8 = (-off.shape[0]) % 8
-    off = jnp.pad(off, ((0, pad8), (0, 0)))
+    # +8 extra rows: the pipelined kernel reads row+1 through a 16-row
+    # window, which at the last tile runs past nb
+    off = jnp.pad(off, ((0, pad8 + 8), (0, 0)))
 
     if sub_block:
         # ---- per-sub-block views (round-3 kernel v3) ----
@@ -382,16 +384,123 @@ def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
     return px, py, pz, fx, fy, fz, selfs
 
 
+def _pair_force_phase_pipelined(min_dist, k_contact, pos3_hbm, posc_blk,
+                                win_blk, slab_ref, slab_next_ref, slabs,
+                                facc, sems, *, block, slab, ng=_NG,
+                                ngp=_NGP):
+    """Cross-block double-buffered variant of :func:`_pair_force_phase`.
+
+    Round-3 chip measurement: the dense kernel is only ~60% VPU math —
+    the rest is slab-DMA issue/wait latency (~1-2 µs per group, poorly
+    overlapped with ~1 µs/group of math). Grid iterations on a TPU core
+    run sequentially with PERSISTENT scratch, so block ``b`` issues block
+    ``b+1``'s slab DMAs into the other half of a double buffer before
+    doing its own math; by the time ``b+1`` runs, its slabs are resident.
+
+    Requires: ``slabs`` [2, ng, 2, 4, slab], ``sems`` [2, ng, 2], and the
+    slab-offset table passed TWICE — ``slab_ref`` windowed at ``b//8``
+    (this block's row) and ``slab_next_ref`` windowed at ``(b+1)//8``
+    (so block b+1's row is addressable across the 8-row tile boundary;
+    BlockSpec index maps stride in units of the block shape, so one wider
+    window cannot overlap).
+    """
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    row = jax.lax.rem(b, 8)
+    par = jax.lax.rem(b, 2)
+
+    def issue(ref, row_idx, buf):
+        for g in range(ng):
+            offa = pl.multiple_of(ref[row_idx, g * 2], 128)
+            offb = pl.multiple_of(ref[row_idx, g * 2 + 1], 128)
+            cpa = pltpu.make_async_copy(
+                pos3_hbm.at[:, pl.ds(offa, slab)], slabs.at[buf, g, 0],
+                sems.at[buf, g, 0])
+            cpa.start()
+
+            @pl.when(offb > offa)
+            def _start_b(offb=offb, g=g, buf=buf):
+                pltpu.make_async_copy(
+                    pos3_hbm.at[:, pl.ds(offb, slab)], slabs.at[buf, g, 1],
+                    sems.at[buf, g, 1]).start()
+
+    @pl.when(b == 0)
+    def _prime():
+        issue(slab_ref, row, par)            # b == 0 -> buffer 0
+
+    @pl.when(b + 1 < nb)
+    def _prefetch_next():
+        issue(slab_next_ref, jax.lax.rem(b + 1, 8), 1 - par)
+
+    px = posc_blk[:, 0:1]
+    py = posc_blk[:, 1:2]
+    pz = posc_blk[:, 2:3]
+    selfs = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    fx = jnp.zeros((block, 1), jnp.float32)
+    fy = jnp.zeros((block, 1), jnp.float32)
+    fz = jnp.zeros((block, 1), jnp.float32)
+    facc[...] = jnp.zeros((block, 4), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
+
+    def pair_sums(qx, qy, qz, jg, s_g, e_g, lo):
+        valid = (jg >= s_g) & (jg < e_g) & (jg >= lo) & (jg != selfs)
+        dx = px - qx
+        dy = py - qy
+        dz = pz - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        touching = valid & (d2 < min_dist * min_dist) & (d2 > _EPS * _EPS)
+        inv = jax.lax.rsqrt(jnp.where(d2 > _EPS * _EPS, d2, 1.0))
+        w = jnp.where(touching, k_contact * (min_dist * inv - 1.0), 0.0)
+        return (jnp.sum(w * dx, axis=1, keepdims=True),
+                jnp.sum(w * dy, axis=1, keepdims=True),
+                jnp.sum(w * dz, axis=1, keepdims=True))
+
+    for g in range(ng):
+        offa = slab_ref[row, g * 2]
+        offb = slab_ref[row, g * 2 + 1]
+        s_g = win_blk[:, g:g + 1]
+        e_g = win_blk[:, ngp + g:ngp + g + 1]
+        pltpu.make_async_copy(
+            pos3_hbm.at[:, pl.ds(pl.multiple_of(offa, 128), slab)],
+            slabs.at[par, g, 0], sems.at[par, g, 0]).wait()
+        sx, sy, sz = pair_sums(
+            slabs[par, g, 0, 0:1, :], slabs[par, g, 0, 1:2, :],
+            slabs[par, g, 0, 2:3, :], lane + offa, s_g, e_g, jnp.int32(0))
+        fx = fx + sx
+        fy = fy + sy
+        fz = fz + sz
+
+        @pl.when(offb > offa)
+        def _pass_b(g=g, offa=offa, offb=offb, s_g=s_g, e_g=e_g):
+            pltpu.make_async_copy(
+                pos3_hbm.at[:, pl.ds(pl.multiple_of(offb, 128), slab)],
+                slabs.at[par, g, 1], sems.at[par, g, 1]).wait()
+            bx, by, bz = pair_sums(
+                slabs[par, g, 1, 0:1, :], slabs[par, g, 1, 1:2, :],
+                slabs[par, g, 1, 2:3, :], lane + offb, s_g, e_g,
+                offa + slab)
+            facc[:, 0:1] += bx
+            facc[:, 1:2] += by
+            facc[:, 2:3] += bz
+
+    fx = fx + facc[:, 0:1]
+    fy = fy + facc[:, 1:2]
+    fz = fz + facc[:, 2:3]
+    return px, py, pz, fx, fy, fz, selfs
+
+
 def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
-            *rest, block, slab, n_real, sub_block=0):
+            *rest, block, slab, n_real, sub_block=0, pipelined=False):
     """One granular substep for sorted-block ``b = program_id(0)``:
     the shared pair-force phase, then gravity -> Euler -> wall clamp &
     reflect — op order matching models/granular._frozen_substep exactly.
     """
+    slab_next_ref = views_ref = None
     if sub_block:
         views_ref, posc_out, velc_out, slabs, facc, sems = rest
+    elif pipelined:
+        slab_next_ref, posc_out, velc_out, slabs, facc, sems = rest
     else:
-        views_ref = None
         posc_out, velc_out, slabs, facc, sems = rest
     min_dist = params_ref[0]
     k_contact = params_ref[1]
@@ -400,10 +509,15 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     restitution = params_ref[4]
     limit = params_ref[5]
 
-    px, py, pz, fx, fy, fz, selfs = _pair_force_phase(
-        min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
-        slabs, facc, sems, block=block, slab=slab,
-        views_ref=views_ref, sub_block=sub_block)
+    if pipelined:
+        px, py, pz, fx, fy, fz, selfs = _pair_force_phase_pipelined(
+            min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
+            slab_next_ref, slabs, facc, sems, block=block, slab=slab)
+    else:
+        px, py, pz, fx, fy, fz, selfs = _pair_force_phase(
+            min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
+            slabs, facc, sems, block=block, slab=slab,
+            views_ref=views_ref, sub_block=sub_block)
     alive = selfs < n_real
     fy = fy + gravity                                    # unit mass
 
@@ -432,19 +546,27 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
 
 def _forces_kernel(params_ref, pos3_hbm, posc_blk, win_blk, slab_ref,
                    *rest, block, slab, n_real, ng=_NG, ngp=_NGP,
-                   sub_block=0):
+                   sub_block=0, pipelined=False):
     """Force-only variant: write the pair contact-force sums and stop —
     the caller owns integration (cloth self-collision folds these into
     its spring-force accumulation, models/cloth.self_collision_forces)."""
+    slab_next_ref = views_ref = None
     if sub_block:
         views_ref, f_out, slabs, facc, sems = rest
+    elif pipelined:
+        slab_next_ref, f_out, slabs, facc, sems = rest
     else:
-        views_ref = None
         f_out, slabs, facc, sems = rest
-    _, _, _, fx, fy, fz, selfs = _pair_force_phase(
-        params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
-        slab_ref, slabs, facc, sems, block=block, slab=slab, ng=ng, ngp=ngp,
-        views_ref=views_ref, sub_block=sub_block)
+    if pipelined:
+        _, _, _, fx, fy, fz, selfs = _pair_force_phase_pipelined(
+            params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
+            slab_ref, slab_next_ref, slabs, facc, sems, block=block,
+            slab=slab, ng=ng, ngp=ngp)
+    else:
+        _, _, _, fx, fy, fz, selfs = _pair_force_phase(
+            params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
+            slab_ref, slabs, facc, sems, block=block, slab=slab, ng=ng,
+            ngp=ngp, views_ref=views_ref, sub_block=sub_block)
     alive = selfs < n_real
     f_out[:, 0:1] = jnp.where(alive, fx, 0.0)
     f_out[:, 1:2] = jnp.where(alive, fy, 0.0)
@@ -456,7 +578,7 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                           min_dist, k_contact, *, block: int, slab: int,
                           n_real: int, interpret: bool,
                           thin: bool = False, sub_block: int = 0,
-                          views=None) -> jnp.ndarray:
+                          views=None, pipelined: bool = False) -> jnp.ndarray:
     """Pairwise penalty contact forces on padded SORTED positions.
 
     Same slab-DMA machinery as :func:`substep_sorted` but returns forces
@@ -471,7 +593,7 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                       jnp.asarray(k_contact, jnp.float32)])
     kernel = functools.partial(_forces_kernel, block=block, slab=slab,
                                n_real=n_real, ng=ng, ngp=ngp,
-                               sub_block=sub_block)
+                               sub_block=sub_block, pipelined=pipelined)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),        # params
         pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
@@ -481,6 +603,13 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                      memory_space=pltpu.SMEM),
     ]
     operands = [pvec, pos3, posc, windows, slab_start]
+    if pipelined and not sub_block:
+        # the SAME offset table again, windowed one block ahead: block
+        # b's prefetch of block b+1's slabs reads row (b+1)%8 here
+        in_specs.append(pl.BlockSpec((8, 2 * ng),
+                                     lambda b: ((b + 1) // 8, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(slab_start)
     if sub_block:
         nsub = block // sub_block
         in_specs.append(pl.BlockSpec((8, ng * nsub * 2),
@@ -488,6 +617,8 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                                      memory_space=pltpu.SMEM))
         operands.append(views)
         slab_scratch = pltpu.VMEM((ng, 4, 2 * slab), jnp.float32)
+    elif pipelined:
+        slab_scratch = pltpu.VMEM((2, ng, 2, 4, slab), jnp.float32)
     else:
         slab_scratch = pltpu.VMEM((ng, 2, 4, slab), jnp.float32)
     return pl.pallas_call(
@@ -498,7 +629,7 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
         scratch_shapes=[
             slab_scratch,
             pltpu.VMEM((block, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA((ng, 2)),
+            pltpu.SemaphoreType.DMA((2, ng, 2) if pipelined else (ng, 2)),
         ],
         out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -511,7 +642,8 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                    windows: jnp.ndarray, slab_start: jnp.ndarray,
                    params_vec: jnp.ndarray, *, block: int, slab: int,
                    n_real: int, interpret: bool, sub_block: int = 0,
-                   views=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   views=None, pipelined: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One substep on padded SORTED state. ``pos3`` [4, Np] (DMA slab
     source; rows x/y/z + one dead alignment row), ``posc``/``velc``
     [Np, 3] (per-particle columns), ``windows`` [Np, 2*_NGP] int32,
@@ -521,7 +653,8 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
     n_pad = posc.shape[0]
     nb = n_pad // block
     kernel = functools.partial(_kernel, block=block, slab=slab,
-                               n_real=n_real, sub_block=sub_block)
+                               n_real=n_real, sub_block=sub_block,
+                               pipelined=pipelined)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),        # params
         pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
@@ -536,6 +669,11 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                      memory_space=pltpu.SMEM),
     ]
     operands = [params_vec, pos3, posc, velc, windows, slab_start]
+    if pipelined and not sub_block:
+        in_specs.append(pl.BlockSpec((8, 2 * _NG),
+                                     lambda b: ((b + 1) // 8, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(slab_start)
     if sub_block:
         nsub = block // sub_block
         in_specs.append(pl.BlockSpec((8, _NG * nsub * 2),
@@ -543,6 +681,8 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                                      memory_space=pltpu.SMEM))
         operands.append(views)
         slab_scratch = pltpu.VMEM((_NG, 4, 2 * slab), jnp.float32)
+    elif pipelined:
+        slab_scratch = pltpu.VMEM((2, _NG, 2, 4, slab), jnp.float32)
     else:
         slab_scratch = pltpu.VMEM((_NG, 2, 4, slab), jnp.float32)
     return pl.pallas_call(
@@ -556,7 +696,8 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
         scratch_shapes=[
             slab_scratch,
             pltpu.VMEM((block, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA((_NG, 2)),
+            pltpu.SemaphoreType.DMA((2, _NG, 2) if pipelined
+                                    else (_NG, 2)),
         ],
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
