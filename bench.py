@@ -101,15 +101,19 @@ def _child_cloth() -> dict:
 
 def _child_granular(n: int = 1_000_000, n_steps: int = 64) -> dict:
     """Secondary metric: end-to-end 1M-particle granular contact
-    (BASELINE configs[2] extension), slab-DMA Pallas kernel, default
-    rebuild schedule."""
+    (BASELINE configs[2] extension), slab-DMA Pallas kernel. Tuned
+    schedule: rebuild-every-16 frozen windows (Verlet skin documented in
+    GranularConfig) + slab 256 — the fastest drop-telemetry-comparable
+    configuration measured in round 3 (defaults stay at the
+    conservative K=8/s384)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from wgpu_physics_engine_tpu.models import granular
 
-    cfg = granular.GranularConfig(num_particles=n)
+    cfg = granular.GranularConfig(num_particles=n, rebuild_every=16,
+                                  pallas_slab=256)
     state = granular.init_state(cfg, jax.random.PRNGKey(0))
     dt = jnp.float32(1 / 240)
     np.asarray(granular.multi_step(state, cfg, dt, n_steps).pos[:1, :1])

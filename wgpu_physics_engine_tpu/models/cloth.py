@@ -273,7 +273,9 @@ def _self_collide_block(state: ClothState, params: ClothParams,
     def inner(s, _):
         sp = s.pos.reshape(3, n)[:, order]            # frozen sort order
         posc = jnp.pad(sp.T, ((0, pad), (0, 0)), constant_values=1e6)
-        pos4 = jnp.pad(posc.T, ((0, 1), (0, 0)))      # sublane-aligned DMA
+        # DMA source straight from sp — routing it through posc.T would
+        # add a second [N, 3] <-> [3, N] relayout per substep
+        pos4 = jnp.pad(sp, ((0, 1), (0, pad)), constant_values=1e6)
         f_sorted = granular_pallas.contact_forces_sorted(
             pos4, posc, windows, off, min_dist, params.k_contact,
             block=block, slab=slab, n_real=n, interpret=interpret,
@@ -302,7 +304,7 @@ def _self_collide_block(state: ClothState, params: ClothParams,
 def multi_step_self_collide(state: ClothState, params: ClothParams,
                             dt: jnp.ndarray, n_steps: int, grid_spec,
                             rebuild_every: int = 1,
-                            pallas_block: int = 128, pallas_slab: int = 384,
+                            pallas_block: int = 256, pallas_slab: int = 768,
                             interpret: Optional[bool] = None,
                             return_stats: bool = False,
                             use_spring_kernel: Optional[bool] = None):

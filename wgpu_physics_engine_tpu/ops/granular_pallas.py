@@ -287,10 +287,16 @@ def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
     facc[...] = jnp.zeros((block, 4), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
 
-    def pair_sums(qx, qy, qz, jg, s_g, e_g, lo):
+    center = ng // 2      # the (0,0) / dx=0 group: the only window that
+    # can contain the particle's own slot (other groups are disjoint
+    # cell columns), so only it pays the self-exclusion compare
+
+    def pair_sums(qx, qy, qz, jg, s_g, e_g, lo, check_self):
         """Masked penalty-force sums of one slab pass; ``lo`` drops
         candidates below it (B pass: everything A already covered)."""
-        valid = (jg >= s_g) & (jg < e_g) & (jg >= lo) & (jg != selfs)
+        valid = (jg >= s_g) & (jg < e_g) & (jg >= lo)
+        if check_self:
+            valid = valid & (jg != selfs)
         dx = px - qx
         dy = py - qy
         dz = pz - qz
@@ -335,8 +341,9 @@ def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
                 p_x = px[lo:hi]
                 p_y = py[lo:hi]
                 p_z = pz[lo:hi]
-                sf = selfs[lo:hi]
-                valid = (jg >= s_g) & (jg < e_g) & (jg != sf)
+                valid = (jg >= s_g) & (jg < e_g)
+                if g == center:
+                    valid = valid & (jg != selfs[lo:hi])
                 dx = p_x - view[0:1, :]
                 dy = p_y - view[1:2, :]
                 dz = p_z - view[2:3, :]
@@ -363,7 +370,7 @@ def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
         cpa.wait()
         sx, sy, sz = pair_sums(
             slabs[g, 0, 0:1, :], slabs[g, 0, 1:2, :], slabs[g, 0, 2:3, :],
-            lane + offa, s_g, e_g, jnp.int32(0))
+            lane + offa, s_g, e_g, jnp.int32(0), g == center)
         fx = fx + sx
         fy = fy + sy
         fz = fz + sz
@@ -373,7 +380,8 @@ def _pair_force_phase(min_dist, k_contact, pos3_hbm, posc_blk, win_blk,
             cpb.wait()
             bx, by, bz = pair_sums(
                 slabs[g, 1, 0:1, :], slabs[g, 1, 1:2, :],
-                slabs[g, 1, 2:3, :], lane + offb, s_g, e_g, offa + slab)
+                slabs[g, 1, 2:3, :], lane + offb, s_g, e_g, offa + slab,
+                g == center)
             facc[:, 0:1] += bx
             facc[:, 1:2] += by
             facc[:, 2:3] += bz
@@ -442,8 +450,13 @@ def _pair_force_phase_pipelined(min_dist, k_contact, pos3_hbm, posc_blk,
     facc[...] = jnp.zeros((block, 4), jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
 
-    def pair_sums(qx, qy, qz, jg, s_g, e_g, lo):
-        valid = (jg >= s_g) & (jg < e_g) & (jg >= lo) & (jg != selfs)
+    center = ng // 2      # only the center group's window can contain
+    # the particle's own slot (see _pair_force_phase)
+
+    def pair_sums(qx, qy, qz, jg, s_g, e_g, lo, check_self):
+        valid = (jg >= s_g) & (jg < e_g) & (jg >= lo)
+        if check_self:
+            valid = valid & (jg != selfs)
         dx = px - qx
         dy = py - qy
         dz = pz - qz
@@ -465,7 +478,8 @@ def _pair_force_phase_pipelined(min_dist, k_contact, pos3_hbm, posc_blk,
             slabs.at[par, g, 0], sems.at[par, g, 0]).wait()
         sx, sy, sz = pair_sums(
             slabs[par, g, 0, 0:1, :], slabs[par, g, 0, 1:2, :],
-            slabs[par, g, 0, 2:3, :], lane + offa, s_g, e_g, jnp.int32(0))
+            slabs[par, g, 0, 2:3, :], lane + offa, s_g, e_g,
+            jnp.int32(0), g == center)
         fx = fx + sx
         fy = fy + sy
         fz = fz + sz
@@ -478,7 +492,7 @@ def _pair_force_phase_pipelined(min_dist, k_contact, pos3_hbm, posc_blk,
             bx, by, bz = pair_sums(
                 slabs[par, g, 1, 0:1, :], slabs[par, g, 1, 1:2, :],
                 slabs[par, g, 1, 2:3, :], lane + offb, s_g, e_g,
-                offa + slab)
+                offa + slab, g == center)
             facc[:, 0:1] += bx
             facc[:, 1:2] += by
             facc[:, 2:3] += bz
