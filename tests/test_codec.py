@@ -200,6 +200,21 @@ def test_datagen_batched_prologue_matches_per_world():
     assert diff.max() <= 1         # fp-order-only differences round to ±1
 
 
+def test_texture_get_max_size_mips():
+    """max_size box-downsamples committed assets (datagen's cache-size
+    lever) and leaves the full-resolution load untouched."""
+    from wgpu_physics_engine_tpu.render import texture as T
+
+    full = T.get("mesh")
+    mip = T.get("mesh", max_size=256)
+    assert full.shape[0] > 256 and mip.shape[:2] == (256, 256)
+    # the mip is the box filter of the full texture
+    h2, w2 = mip.shape[0], mip.shape[1]
+    box = np.asarray(full).reshape(h2, full.shape[0] // h2, w2,
+                                   full.shape[1] // w2, 3).mean((1, 3))
+    np.testing.assert_allclose(np.asarray(mip), box, atol=1e-6)
+
+
 def test_datagen_world_chunk_remainder():
     """Requesting n_worlds not divisible by world_chunk generates ALL
     worlds via a final short chunk (regression: 100 worlds with chunk 64

@@ -130,7 +130,11 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
     # batching constraint — inside the per-world map it serializes and
     # costs ~0.5 of the 1.4 ms/world render floor. Compute it for ALL
     # worlds in one vmapped program; only the kernel launch (SMEM scalars,
-    # unvmappable) stays per-world.
+    # unvmappable) stays per-world. (A fully-batched render — one
+    # (worlds, tiles) pallas visibility launch per world group + vmapped
+    # composite — was built and A/B'd in round 3: NO faster than this
+    # per-world lax.map in the same process (5.9 vs 5.5 ms/world), i.e.
+    # the per-world map is compute-bound, not dispatch-bound. Not kept.)
     fbh, fbw = fb_size
     n_inst = batch.state.pos.shape[-2] * batch.state.pos.shape[-1]
     if batch_binned is None:
@@ -207,7 +211,11 @@ def generate_trajectory_dataset(
     """
     import numpy as np
 
-    globe_tex = T.get("mesh") if globe_tex is None else globe_tex
+    # 256 mip of the globe texture: gathers from a 512² fp32 texture fall
+    # out of cache and cost +1.3 ms/world at 512 worlds (measured round 3);
+    # at 256² output the lost detail is sub-pixel
+    globe_tex = (T.get("mesh", max_size=256) if globe_tex is None
+                 else globe_tex)
     world_chunk = world_chunk or n_worlds
     dt = jnp.float32(1.0 / config.hz)
 
