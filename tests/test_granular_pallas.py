@@ -78,6 +78,31 @@ def test_subview_kernel_matches_dense():
                                atol=1e-5, rtol=0)
 
 
+def test_merged_kernel_matches_dense():
+    """Merged-slab mode (one A/B slab pair per dx-triple, z-free column
+    windows) computes the same physics as the 9-group dense path: the
+    z-free supersets only admit candidates ≥ cell_size ≥ min_dist away,
+    which the distance test rejects — so the touching sets are identical
+    and results differ only by accumulation order. N=1500 crosses the
+    8-row offset-tile boundary in the merged prefetch path too."""
+    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
+                restitution=0.4, rebuild_every=4, pallas_block=128,
+                pallas_slab=512)
+    cfg_d = granular.GranularConfig(**base)
+    cfg_m = granular.GranularConfig(**base, merge=True)
+    state = granular.init_state(cfg_d, jax.random.PRNGKey(5))
+    dt = jnp.float32(1 / 240)
+    out_d, drop_d = granular.multi_step(state, cfg_d, dt, 10,
+                                        return_stats=True, backend="pallas")
+    out_m, drop_m = granular.multi_step(state, cfg_m, dt, 10,
+                                        return_stats=True, backend="pallas")
+    assert int(drop_d) == 0 and int(drop_m) == 0
+    np.testing.assert_allclose(np.asarray(out_m.pos), np.asarray(out_d.pos),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(out_m.vel), np.asarray(out_d.vel),
+                               atol=1e-5, rtol=0)
+
+
 def test_pipelined_kernel_matches_unpipelined():
     """Cross-block DMA double buffering must not change a single bit:
     identical slabs, identical math, only prefetch timing differs.

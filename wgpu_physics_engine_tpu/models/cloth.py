@@ -242,7 +242,11 @@ def _self_collide_block(state: ClothState, params: ClothParams,
        (``granular_pallas.build_windows(thin=True)`` — the cloth is a
        surface, so merged y/z column ranges hold ~a dozen candidates and
        the dense [B, S] passes drop from 9 to 3, which was ~⅔ of the
-       whole substep),
+       whole substep). Round-3 note: the MERGED single-slab mode was
+       measured SLOWER here (1.68 vs 1.08 ms/substep at 256²) — the
+       dx-triple hull spans ~2 x-slice populations, so its one slab is
+       as wide as the 3 per-dx slabs combined and the B pass fires on
+       most blocks; merge only pays for volumetric fills (granular),
     3. permute pair forces back and run springs + f_self + integrate +
        pins as ONE fused VMEM-resident kernel
        (``cloth_pallas.substep_with_force``) instead of the ~1 ms XLA
@@ -304,7 +308,8 @@ def _self_collide_block(state: ClothState, params: ClothParams,
 def multi_step_self_collide(state: ClothState, params: ClothParams,
                             dt: jnp.ndarray, n_steps: int, grid_spec,
                             rebuild_every: int = 1,
-                            pallas_block: int = 256, pallas_slab: int = 768,
+                            pallas_block: int = 256,
+                            pallas_slab: Optional[int] = None,
                             interpret: Optional[bool] = None,
                             return_stats: bool = False,
                             use_spring_kernel: Optional[bool] = None):
@@ -313,8 +318,9 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
     ``rebuild_every=1`` (default) rebuilds the spatial hash every substep
     (exact, XLA sorted-window path). ``rebuild_every=K>1`` freezes the
     broad-phase for K substeps: the contact narrow-phase runs through the
-    slab-DMA Pallas kernel in thin 3-group mode, and springs + contact +
-    integrate + pins fuse into one VMEM-resident kernel per substep.
+    slab-DMA Pallas kernel in thin 3-group mode (``pallas_slab=None``
+    auto-sizes the per-dx slab), and springs + contact + integrate +
+    pins fuse into one VMEM-resident kernel per substep.
     Size the grid with a skin (``default_self_collision_grid(...,
     skin=...)``) so the Verlet invariant holds between rebuilds.
 
@@ -340,6 +346,12 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
 
         h, w = state.pos.shape[-2:]
         use_spring_kernel = h * w <= cloth_pallas._VMEM_PARTICLE_LIMIT
+    if pallas_slab is None:
+        # per-dx slab: must span one dx-group's window hull ≈ the
+        # block's own span + ~3 y-columns. s512 at b256 measured fastest
+        # with zero drops at 256² (s384 was slower — alignment quirk —
+        # and s768 pays ~18% more lane math for nothing).
+        pallas_slab = max(512, 2 * pallas_block)
     k = rebuild_every
     n_outer, rem = divmod(n_steps, k)
 

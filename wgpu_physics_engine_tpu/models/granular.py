@@ -63,6 +63,12 @@ class GranularConfig:
     # buffering: block b prefetches block b+1's slabs before its math —
     # hides the DMA latency that is ~40% of the dense kernel's time
     # (ignored when sub_block > 0)
+    merge: bool = False              # merged-slab kernel (round 3): one
+    # A/B slab pair per dx-triple of window ranges (3 DMA groups instead
+    # of 9) with z-free column windows — cuts both the per-block DMA
+    # issue cost and the rebuild's window gathers (see
+    # ops.granular_pallas.build_windows). Size pallas_slab to the
+    # dx-triple hull (~3 y-columns + block span) and watch dropped.
 
     @property
     def skin_value(self) -> float:
@@ -209,7 +215,7 @@ def _run_block_pallas(state: ParticleState, config: GranularConfig,
             grid, spec, block, slab, n_pad, sub_block=config.sub_block)
     else:
         windows, slab_start, dropped = granular_pallas.build_windows(
-            grid, spec, block, slab, n_pad)
+            grid, spec, block, slab, n_pad, merge=config.merge)
     pad = n_pad - n
     # pad slots have empty windows and are never referenced by real
     # windows (ends <= n); park them outside the box and freeze them
@@ -230,7 +236,8 @@ def _run_block_pallas(state: ParticleState, config: GranularConfig,
             pos4, posc, velc, windows, slab_start, pvec,
             block=block, slab=slab, n_real=n, interpret=interpret,
             sub_block=config.sub_block, views=views,
-            pipelined=config.pipeline and not config.sub_block)
+            pipelined=config.pipeline and not config.sub_block,
+            merge=config.merge)
         return (posc, velc), None
 
     (posc, velc), _ = jax.lax.scan(inner, (posc, velc), None, length=length)

@@ -53,7 +53,7 @@ VIEW_W = 128     # lanes per sub-block view (kernel v3); one vreg width
 
 def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
                   block: int, slab: int, n_pad: int, thin: bool = False,
-                  sub_block: int = 0
+                  sub_block: int = 0, merge: bool = False
                   ) -> Tuple[jnp.ndarray, ...]:
     """Per-particle window ranges + per-block slab offsets (XLA, rebuild
     time).
@@ -82,6 +82,18 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     the 128-aligned A/B slab offsets of group g and ``dropped`` counts
     window entries outside both slabs (the kernel never sees them —
     nonzero means ``slab`` is undersized for this density).
+
+    ``merge=True`` (round-3 merged-slab mode): each dx-triple of window
+    ranges shares ONE A/B slab pair — ``slab_start`` shrinks to
+    ``[nb, 2*(NG//3)]`` and the kernel does NG//3 slab DMAs per block
+    instead of NG (window ranges and their per-range masks are
+    unchanged). The chip measurement behind it: at 256 blocks the dense
+    kernel is DMA-issue/wait-bound, not VPU-bound — halving the slab
+    saved ~1% while merging triples cuts the per-block scalar-core DMA
+    work 3×. The price is a wider shared slab (it must span the triple's
+    hull: ~the population of one x-slice for thin/cloth, ~one x-slice of
+    a y-window for full/granular) — size ``slab`` accordingly and watch
+    ``dropped``.
     """
     n = grid.sorted_cid.shape[0]
     ng, ngp = (3, 4) if thin else (_NG, _NGP)
@@ -90,7 +102,49 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     cx = cid // (d1 * d2)
     rem = cid - cx * (d1 * d2)
     c = jnp.stack([cx, rem // d2, rem - (rem // d2) * d2])
-    if thin:
+    if merge:
+        # Z-FREE column windows (merged mode only): each range spans the
+        # WHOLE z-extent of its cell column(s) instead of the z-triple.
+        # The superset is exact: a candidate whose z-cell differs by >= 2
+        # is >= cell_size >= min_dist (+ skin) away and the kernel's
+        # distance test rejects it — the same argument that already
+        # admits the in-between y-cells of thin mode. The hull each
+        # merged slab must cover is IDENTICAL (the dx-triple's merged
+        # range already spans those z-cells), so this costs no slab
+        # width and no extra VPU time (dense math pays the full slab
+        # either way). What it buys is the rebuild: window queries
+        # become gathers from the [dims0*dims1 + 1] column-start table
+        # below (cache-resident) instead of the multi-MB cell_start —
+        # at 256² cloth that one change removes ~3 ms of the ~5 ms
+        # rebuild (round-3 chip probe), and at 1M granular it turns 18M
+        # slow gathers into cache-rate ones.
+        dims = jnp.asarray(spec.dims, jnp.int32)
+        ncols = spec.dims[0] * d1
+        cs2 = jax.lax.slice(grid.cell_start, (0,), (ncols * d2 + 1,),
+                            (d2,))                        # [ncols + 1]
+        starts_l, ends_l, oks_l = [], [], []
+        if thin:
+            y0 = jnp.maximum(c[1] - 1, 0)
+            y1 = jnp.minimum(c[1] + 1, dims[1] - 1)
+            for dx in (-1, 0, 1):
+                okx = (c[0] + dx >= 0) & (c[0] + dx < dims[0])
+                ncx = jnp.clip(c[0] + dx, 0, dims[0] - 1)
+                starts_l.append(cs2[ncx * d1 + y0])
+                ends_l.append(cs2[ncx * d1 + y1 + 1])
+                oks_l.append(okx)
+        else:
+            for dx, dy in broadphase.OFFSETS_XY:
+                ok = ((c[0] + dx >= 0) & (c[0] + dx < dims[0]) &
+                      (c[1] + dy >= 0) & (c[1] + dy < dims[1]))
+                col = (jnp.clip(c[0] + dx, 0, dims[0] - 1) * d1
+                       + jnp.clip(c[1] + dy, 0, dims[1] - 1))
+                starts_l.append(cs2[col])
+                ends_l.append(cs2[col + 1])
+                oks_l.append(ok)
+        g_starts = jnp.stack(starts_l, axis=-1)
+        g_ends = jnp.stack(ends_l, axis=-1)
+        g_ok = jnp.stack(oks_l, axis=-1)
+    elif thin:
         dims = jnp.asarray(spec.dims, jnp.int32)
         y0 = jnp.maximum(c[1] - 1, 0)
         y1 = jnp.minimum(c[1] + 1, dims[1] - 1)
@@ -136,8 +190,14 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
                    constant_values=n).reshape(nb, block, ng)
     eblk = jnp.pad(er, ((0, pad), (0, 0)),
                    constant_values=n).reshape(nb, block, ng)
-    smin = jnp.min(sblk, axis=1)                          # [nb, 9]
-    emax = jnp.max(eblk, axis=1)
+    if merge:
+        assert ng % 3 == 0 and not sub_block
+        ngd = ng // 3
+        smin = jnp.min(sblk.reshape(nb, block, ngd, 3), axis=(1, 3))
+        emax = jnp.max(eblk.reshape(nb, block, ngd, 3), axis=(1, 3))
+    else:
+        smin = jnp.min(sblk, axis=1)                      # [nb, 9]
+        emax = jnp.max(eblk, axis=1)
     # Slab A anchors the head of the block's window hull. When the block
     # straddles an (x, y) cell-column boundary the hull is far wider than
     # one slab — but the windows themselves cluster at its two ENDS (the
@@ -149,8 +209,12 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     offb = jnp.where(need_b, offb_raw, offa)
     # telemetry: window entries in the A-B gap or beyond B's end are
     # invisible to the kernel
-    offa_e = offa[:, None, :]
-    offb_e = offb[:, None, :]
+    if merge:
+        offa_e = jnp.repeat(offa, 3, axis=-1)[:, None, :]
+        offb_e = jnp.repeat(offb, 3, axis=-1)[:, None, :]
+    else:
+        offa_e = offa[:, None, :]
+        offb_e = offb[:, None, :]
     gap = jnp.maximum(
         jnp.minimum(eblk, offb_e) - jnp.maximum(sblk, offa_e + slab), 0)
     beyond = jnp.maximum(eblk - jnp.maximum(sblk, offb_e + slab), 0)
@@ -503,8 +567,120 @@ def _pair_force_phase_pipelined(min_dist, k_contact, pos3_hbm, posc_blk,
     return px, py, pz, fx, fy, fz, selfs
 
 
+def _pair_force_phase_merged(min_dist, k_contact, pos3_hbm, posc_blk,
+                             win_blk, slab_ref, slab_next_ref, slabs,
+                             facc, sems, *, block, slab, ng=_NG,
+                             ngp=_NGP):
+    """Merged-slab pair phase (round-3): each dx-triple of window ranges
+    shares one A/B slab pair, so a block issues ``ng//3`` slab-DMA
+    groups instead of ``ng``. The chip measurement driving this: at
+    b256 the dense kernel is DMA-issue/wait-bound on the scalar core
+    (halving ``slab`` moved time ~1%), so fewer/wider DMAs win even
+    though each pass evaluates a wider slab. Validity stays exact — a
+    candidate must fall inside one of the triple's PER-RANGE windows;
+    the ranges are disjoint cell columns, so the particle's own slot
+    appears exactly once (in the center dx-group) and self-exclusion is
+    one compare there. Cross-block double-buffered like
+    :func:`_pair_force_phase_pipelined` (``slab_ref`` again passed
+    twice, next block's row via ``slab_next_ref``).
+    """
+    ngd = ng // 3
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    row = jax.lax.rem(b, 8)
+    par = jax.lax.rem(b, 2)
+
+    def issue(ref, row_idx, buf):
+        for g in range(ngd):
+            offa = pl.multiple_of(ref[row_idx, g * 2], 128)
+            offb = pl.multiple_of(ref[row_idx, g * 2 + 1], 128)
+            pltpu.make_async_copy(
+                pos3_hbm.at[:, pl.ds(offa, slab)], slabs.at[buf, g, 0],
+                sems.at[buf, g, 0]).start()
+
+            @pl.when(offb > offa)
+            def _start_b(offb=offb, g=g, buf=buf):
+                pltpu.make_async_copy(
+                    pos3_hbm.at[:, pl.ds(offb, slab)], slabs.at[buf, g, 1],
+                    sems.at[buf, g, 1]).start()
+
+    @pl.when(b == 0)
+    def _prime():
+        issue(slab_ref, row, par)
+
+    @pl.when(b + 1 < nb)
+    def _prefetch_next():
+        issue(slab_next_ref, jax.lax.rem(b + 1, 8), 1 - par)
+
+    px = posc_blk[:, 0:1]
+    py = posc_blk[:, 1:2]
+    pz = posc_blk[:, 2:3]
+    selfs = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    fx = jnp.zeros((block, 1), jnp.float32)
+    fy = jnp.zeros((block, 1), jnp.float32)
+    fz = jnp.zeros((block, 1), jnp.float32)
+    facc[...] = jnp.zeros((block, 4), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
+
+    center = ngd // 2     # the dx=0 triple — the only one whose ranges
+    # can contain the particle's own slot
+
+    def pair_sums(qx, qy, qz, jg, ranges, lo, check_self):
+        valid = (jg >= ranges[0][0]) & (jg < ranges[0][1])
+        for s_g, e_g in ranges[1:]:
+            valid = valid | ((jg >= s_g) & (jg < e_g))
+        valid = valid & (jg >= lo)
+        if check_self:
+            valid = valid & (jg != selfs)
+        dx = px - qx
+        dy = py - qy
+        dz = pz - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        touching = valid & (d2 < min_dist * min_dist) & (d2 > _EPS * _EPS)
+        inv = jax.lax.rsqrt(jnp.where(d2 > _EPS * _EPS, d2, 1.0))
+        w = jnp.where(touching, k_contact * (min_dist * inv - 1.0), 0.0)
+        return (jnp.sum(w * dx, axis=1, keepdims=True),
+                jnp.sum(w * dy, axis=1, keepdims=True),
+                jnp.sum(w * dz, axis=1, keepdims=True))
+
+    for g in range(ngd):
+        offa = slab_ref[row, g * 2]
+        offb = slab_ref[row, g * 2 + 1]
+        ranges = [(win_blk[:, j:j + 1], win_blk[:, ngp + j:ngp + j + 1])
+                  for j in range(g * 3, g * 3 + 3)]
+        pltpu.make_async_copy(
+            pos3_hbm.at[:, pl.ds(pl.multiple_of(offa, 128), slab)],
+            slabs.at[par, g, 0], sems.at[par, g, 0]).wait()
+        sx, sy, sz = pair_sums(
+            slabs[par, g, 0, 0:1, :], slabs[par, g, 0, 1:2, :],
+            slabs[par, g, 0, 2:3, :], lane + offa, ranges,
+            jnp.int32(0), g == center)
+        fx = fx + sx
+        fy = fy + sy
+        fz = fz + sz
+
+        @pl.when(offb > offa)
+        def _pass_b(g=g, offa=offa, offb=offb, ranges=ranges):
+            pltpu.make_async_copy(
+                pos3_hbm.at[:, pl.ds(pl.multiple_of(offb, 128), slab)],
+                slabs.at[par, g, 1], sems.at[par, g, 1]).wait()
+            bx, by, bz = pair_sums(
+                slabs[par, g, 1, 0:1, :], slabs[par, g, 1, 1:2, :],
+                slabs[par, g, 1, 2:3, :], lane + offb, ranges,
+                offa + slab, g == center)
+            facc[:, 0:1] += bx
+            facc[:, 1:2] += by
+            facc[:, 2:3] += bz
+
+    fx = fx + facc[:, 0:1]
+    fy = fy + facc[:, 1:2]
+    fz = fz + facc[:, 2:3]
+    return px, py, pz, fx, fy, fz, selfs
+
+
 def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
-            *rest, block, slab, n_real, sub_block=0, pipelined=False):
+            *rest, block, slab, n_real, sub_block=0, pipelined=False,
+            merge=False):
     """One granular substep for sorted-block ``b = program_id(0)``:
     the shared pair-force phase, then gravity -> Euler -> wall clamp &
     reflect — op order matching models/granular._frozen_substep exactly.
@@ -512,7 +688,7 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     slab_next_ref = views_ref = None
     if sub_block:
         views_ref, posc_out, velc_out, slabs, facc, sems = rest
-    elif pipelined:
+    elif pipelined or merge:
         slab_next_ref, posc_out, velc_out, slabs, facc, sems = rest
     else:
         posc_out, velc_out, slabs, facc, sems = rest
@@ -523,7 +699,11 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     restitution = params_ref[4]
     limit = params_ref[5]
 
-    if pipelined:
+    if merge:
+        px, py, pz, fx, fy, fz, selfs = _pair_force_phase_merged(
+            min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
+            slab_next_ref, slabs, facc, sems, block=block, slab=slab)
+    elif pipelined:
         px, py, pz, fx, fy, fz, selfs = _pair_force_phase_pipelined(
             min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
             slab_next_ref, slabs, facc, sems, block=block, slab=slab)
@@ -560,18 +740,23 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
 
 def _forces_kernel(params_ref, pos3_hbm, posc_blk, win_blk, slab_ref,
                    *rest, block, slab, n_real, ng=_NG, ngp=_NGP,
-                   sub_block=0, pipelined=False):
+                   sub_block=0, pipelined=False, merge=False):
     """Force-only variant: write the pair contact-force sums and stop —
     the caller owns integration (cloth self-collision folds these into
     its spring-force accumulation, models/cloth.self_collision_forces)."""
     slab_next_ref = views_ref = None
     if sub_block:
         views_ref, f_out, slabs, facc, sems = rest
-    elif pipelined:
+    elif pipelined or merge:
         slab_next_ref, f_out, slabs, facc, sems = rest
     else:
         f_out, slabs, facc, sems = rest
-    if pipelined:
+    if merge:
+        _, _, _, fx, fy, fz, selfs = _pair_force_phase_merged(
+            params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
+            slab_ref, slab_next_ref, slabs, facc, sems, block=block,
+            slab=slab, ng=ng, ngp=ngp)
+    elif pipelined:
         _, _, _, fx, fy, fz, selfs = _pair_force_phase_pipelined(
             params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
             slab_ref, slab_next_ref, slabs, facc, sems, block=block,
@@ -592,35 +777,45 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                           min_dist, k_contact, *, block: int, slab: int,
                           n_real: int, interpret: bool,
                           thin: bool = False, sub_block: int = 0,
-                          views=None, pipelined: bool = False) -> jnp.ndarray:
+                          views=None, pipelined: bool = False,
+                          merge: bool = False) -> jnp.ndarray:
     """Pairwise penalty contact forces on padded SORTED positions.
 
     Same slab-DMA machinery as :func:`substep_sorted` but returns forces
     ``[n_pad, 3]`` (zero on pad rows) instead of integrating — the
     narrow-phase for cloth self-collision (BASELINE configs[3]), whose
     integration lives in the cloth step.
+
+    ``merge=True`` consumes ``build_windows(merge=True)`` offsets: one
+    A/B slab pair per dx-triple of window ranges (always cross-block
+    pipelined); ``pipelined``/``sub_block`` are ignored.
     """
     n_pad = posc.shape[0]
     nb = n_pad // block
     ng, ngp = (3, 4) if thin else (_NG, _NGP)
+    if merge:
+        sub_block = 0
+        pipelined = False
+    ngd = ng // 3 if merge else ng
     pvec = jnp.stack([jnp.asarray(min_dist, jnp.float32),
                       jnp.asarray(k_contact, jnp.float32)])
     kernel = functools.partial(_forces_kernel, block=block, slab=slab,
                                n_real=n_real, ng=ng, ngp=ngp,
-                               sub_block=sub_block, pipelined=pipelined)
+                               sub_block=sub_block, pipelined=pipelined,
+                               merge=merge)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),        # params
         pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
         pl.BlockSpec((block, 3), lambda b: (b, 0)),
         pl.BlockSpec((block, 2 * ngp), lambda b: (b, 0)),
-        pl.BlockSpec((8, 2 * ng), lambda b: (b // 8, 0),
+        pl.BlockSpec((8, 2 * ngd), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
     ]
     operands = [pvec, pos3, posc, windows, slab_start]
-    if pipelined and not sub_block:
+    if (pipelined or merge) and not sub_block:
         # the SAME offset table again, windowed one block ahead: block
         # b's prefetch of block b+1's slabs reads row (b+1)%8 here
-        in_specs.append(pl.BlockSpec((8, 2 * ng),
+        in_specs.append(pl.BlockSpec((8, 2 * ngd),
                                      lambda b: ((b + 1) // 8, 0),
                                      memory_space=pltpu.SMEM))
         operands.append(slab_start)
@@ -631,8 +826,8 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                                      memory_space=pltpu.SMEM))
         operands.append(views)
         slab_scratch = pltpu.VMEM((ng, 4, 2 * slab), jnp.float32)
-    elif pipelined:
-        slab_scratch = pltpu.VMEM((2, ng, 2, 4, slab), jnp.float32)
+    elif pipelined or merge:
+        slab_scratch = pltpu.VMEM((2, ngd, 2, 4, slab), jnp.float32)
     else:
         slab_scratch = pltpu.VMEM((ng, 2, 4, slab), jnp.float32)
     return pl.pallas_call(
@@ -643,7 +838,8 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
         scratch_shapes=[
             slab_scratch,
             pltpu.VMEM((block, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, ng, 2) if pipelined else (ng, 2)),
+            pltpu.SemaphoreType.DMA((2, ngd, 2) if (pipelined or merge)
+                                    else (ng, 2)),
         ],
         out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -656,19 +852,28 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                    windows: jnp.ndarray, slab_start: jnp.ndarray,
                    params_vec: jnp.ndarray, *, block: int, slab: int,
                    n_real: int, interpret: bool, sub_block: int = 0,
-                   views=None, pipelined: bool = False
+                   views=None, pipelined: bool = False,
+                   merge: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One substep on padded SORTED state. ``pos3`` [4, Np] (DMA slab
     source; rows x/y/z + one dead alignment row), ``posc``/``velc``
     [Np, 3] (per-particle columns), ``windows`` [Np, 2*_NGP] int32,
     ``slab_start`` [Np//block, 2*_NG] int32 (per-block SMEM rows).
     Returns new ``(posc, velc)``; the caller re-derives pos3.
+
+    ``merge=True``: merged-slab mode (one A/B slab pair per dx-triple;
+    requires ``build_windows(merge=True)`` offsets; always cross-block
+    pipelined; ``pipelined``/``sub_block`` are ignored).
     """
     n_pad = posc.shape[0]
     nb = n_pad // block
+    if merge:
+        sub_block = 0
+        pipelined = False
+    ngd = _NG // 3 if merge else _NG
     kernel = functools.partial(_kernel, block=block, slab=slab,
                                n_real=n_real, sub_block=sub_block,
-                               pipelined=pipelined)
+                               pipelined=pipelined, merge=merge)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),        # params
         pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
@@ -679,12 +884,12 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
         # SMEM at any N (a flat scalar-prefetch array overflows
         # ~512 KB of SMEM past ~7.3k blocks and corrupts memory
         # without error)
-        pl.BlockSpec((8, 2 * _NG), lambda b: (b // 8, 0),
+        pl.BlockSpec((8, 2 * ngd), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
     ]
     operands = [params_vec, pos3, posc, velc, windows, slab_start]
-    if pipelined and not sub_block:
-        in_specs.append(pl.BlockSpec((8, 2 * _NG),
+    if (pipelined or merge) and not sub_block:
+        in_specs.append(pl.BlockSpec((8, 2 * ngd),
                                      lambda b: ((b + 1) // 8, 0),
                                      memory_space=pltpu.SMEM))
         operands.append(slab_start)
@@ -695,8 +900,8 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                                      memory_space=pltpu.SMEM))
         operands.append(views)
         slab_scratch = pltpu.VMEM((_NG, 4, 2 * slab), jnp.float32)
-    elif pipelined:
-        slab_scratch = pltpu.VMEM((2, _NG, 2, 4, slab), jnp.float32)
+    elif pipelined or merge:
+        slab_scratch = pltpu.VMEM((2, ngd, 2, 4, slab), jnp.float32)
     else:
         slab_scratch = pltpu.VMEM((_NG, 2, 4, slab), jnp.float32)
     return pl.pallas_call(
@@ -710,7 +915,7 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
         scratch_shapes=[
             slab_scratch,
             pltpu.VMEM((block, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, _NG, 2) if pipelined
+            pltpu.SemaphoreType.DMA((2, ngd, 2) if (pipelined or merge)
                                     else (_NG, 2)),
         ],
         out_shape=(
