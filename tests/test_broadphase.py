@@ -258,6 +258,27 @@ def test_self_collide_frozen_matches_exact():
                                atol=1e-5, rtol=0)
 
 
+def test_self_collide_mxu_matches_vpu():
+    """MXU contact math (recentered matmul d2 + force-sum matmuls) vs
+    the direct-difference VPU form on the same frozen windows: identical
+    candidate sets, forces differ by ~1 ulp of the recentered |p'|^2."""
+    c = cfg.ClothConfig(height=12, width=12, cloth_size=2.0,
+                        center=(0.0, 40.0, 0.0), particle_radius=0.12)
+    params = ClothParams.from_config(c)
+    state = cloth.multi_step(init_cloth_state(c), params,
+                             jnp.float32(1 / 480), 40)
+    grid = cloth.default_self_collision_grid(c, skin=2 * c.particle_radius)
+    dt = jnp.float32(1 / 480)
+    a = cloth.multi_step_self_collide(state, params, dt, 12, grid,
+                                      rebuild_every=4)
+    m, dropped = cloth.multi_step_self_collide(
+        state, params, dt, 12, grid, rebuild_every=4, mxu=True,
+        return_stats=True)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(m.pos), np.asarray(a.pos),
+                               atol=1e-4, rtol=0)
+
+
 def test_self_collide_spring_kernel_matches_xla():
     """The fused spring+contact+integrate kernel (use_spring_kernel=True,
     round-3 path) matches the XLA spring path on the same frozen windows

@@ -103,6 +103,78 @@ def test_merged_kernel_matches_dense():
                                atol=1e-5, rtol=0)
 
 
+def test_civ_kernel_matches_windows_bitwise():
+    """CIV mode (cid-interval validity, the default) admits EXACTLY the
+    window formulation's candidate sets — same slab offsets away from
+    grid borders, and border blocks only scan extra always-invalid lanes
+    whose contribution is an exact +0.0 — so positions and velocities
+    must match BITWISE, not just to tolerance."""
+    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
+                restitution=0.4, rebuild_every=4, pallas_block=128,
+                pallas_slab=512)
+    cfg_w = granular.GranularConfig(**base, civ=False)
+    cfg_c = granular.GranularConfig(**base, civ=True)
+    state = granular.init_state(cfg_w, jax.random.PRNGKey(7))
+    dt = jnp.float32(1 / 240)
+    out_w = granular.multi_step(state, cfg_w, dt, 10, backend="pallas")
+    out_c, drop_c = granular.multi_step(state, cfg_c, dt, 10,
+                                        return_stats=True, backend="pallas")
+    assert int(drop_c) == 0
+    np.testing.assert_array_equal(np.asarray(out_c.pos),
+                                  np.asarray(out_w.pos))
+    np.testing.assert_array_equal(np.asarray(out_c.vel),
+                                  np.asarray(out_w.vel))
+    # fast-mode (no stats) must produce the same physics
+    out_f = granular.multi_step(state, cfg_c, dt, 10, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(out_f.pos),
+                                  np.asarray(out_c.pos))
+
+
+def test_mxu_kernel_matches_vpu():
+    """MXU pair math (d2 and force sums as matmuls on recentered
+    coordinates) vs the direct-difference VPU form: same candidate sets,
+    forces differ only by the expanded-form cancellation (~1 ulp of the
+    recentered |p'|^2) and reassociation — positions must agree to
+    integration-scale tolerance over a contact-rich trajectory."""
+    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
+                restitution=0.4, rebuild_every=4, pallas_block=128,
+                pallas_slab=512, civ=True)
+    cfg_v = granular.GranularConfig(**base)
+    cfg_m = granular.GranularConfig(**base, mxu=True)
+    state = granular.init_state(cfg_v, jax.random.PRNGKey(3))
+    dt = jnp.float32(1 / 240)
+    out_v = granular.multi_step(state, cfg_v, dt, 10, backend="pallas")
+    out_m, drop_m = granular.multi_step(state, cfg_m, dt, 10,
+                                        return_stats=True, backend="pallas")
+    assert int(drop_m) == 0
+    np.testing.assert_allclose(np.asarray(out_m.pos), np.asarray(out_v.pos),
+                               atol=1e-4, rtol=0)
+    np.testing.assert_allclose(np.asarray(out_m.vel), np.asarray(out_v.vel),
+                               atol=1e-3, rtol=0)
+
+
+def test_thin_civ_matches_full():
+    """Thin CIV (one dx.D +/- (d2+1) interval per dx) admits a superset
+    of the 9-interval candidates whose extras all fail the distance test
+    (exact +0.0) — same candidate set, one lane reduction per dx instead
+    of three, so forces differ only by fp reassociation."""
+    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
+                restitution=0.4, rebuild_every=4, pallas_block=128,
+                civ=True)
+    cfg_f = granular.GranularConfig(**base, pallas_slab=512)
+    cfg_t = granular.GranularConfig(**base, pallas_slab=768, thin=True)
+    state = granular.init_state(cfg_f, jax.random.PRNGKey(5))
+    dt = jnp.float32(1 / 240)
+    out_f = granular.multi_step(state, cfg_f, dt, 10, backend="pallas")
+    out_t, drop_t = granular.multi_step(state, cfg_t, dt, 10,
+                                        return_stats=True, backend="pallas")
+    assert int(drop_t) == 0
+    np.testing.assert_allclose(np.asarray(out_t.pos), np.asarray(out_f.pos),
+                               atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(out_t.vel), np.asarray(out_f.vel),
+                               atol=1e-4, rtol=0)
+
+
 def test_pipelined_kernel_matches_unpipelined():
     """Cross-block DMA double buffering must not change a single bit:
     identical slabs, identical math, only prefetch timing differs.

@@ -228,7 +228,8 @@ def substep_self_collide(state: ClothState, params: ClothParams,
 def _self_collide_block(state: ClothState, params: ClothParams,
                         dt: jnp.ndarray, length: int, grid_spec,
                         block: int, slab: int, interpret: bool,
-                        use_kernel: bool = True):
+                        use_kernel: bool = True, stats: bool = False,
+                        mxu: bool = False):
     """Frozen-window self-collision: one broad-phase rebuild + ``length``
     substeps against it. The sort ORDER is frozen for the block;
     positions are re-gathered into it each substep (two [N] permutation
@@ -267,8 +268,11 @@ def _self_collide_block(state: ClothState, params: ClothParams,
     origin = jnp.min(flat_pos, axis=1) - grid_spec.cell_size
     grid = broadphase.build_sorted_grid(flat_pos, flat_vel, grid_spec, origin)
     n_pad = -(-max(n, slab) // block) * block
-    windows, off, dropped = granular_pallas.build_windows(
-        grid, grid_spec, block, slab, n_pad, thin=True)
+    civ = granular_pallas.civ_bounds(grid_spec, thin=True)
+    cidf, off, dropped = granular_pallas.build_offsets_civ(
+        grid, grid_spec, block, slab, n_pad, thin=True, stats=stats)
+    cidc = cidf[:, None]
+    cid_row = cidf[None, :]
     order = grid.order
     inv = jnp.argsort(order, stable=True)
     pad = n_pad - n
@@ -277,13 +281,16 @@ def _self_collide_block(state: ClothState, params: ClothParams,
     def inner(s, _):
         sp = s.pos.reshape(3, n)[:, order]            # frozen sort order
         posc = jnp.pad(sp.T, ((0, pad), (0, 0)), constant_values=1e6)
-        # DMA source straight from sp — routing it through posc.T would
-        # add a second [N, 3] <-> [3, N] relayout per substep
-        pos4 = jnp.pad(sp, ((0, 1), (0, pad)), constant_values=1e6)
+        # DMA source straight from sp (cids ride the same slab DMA) —
+        # routing it through posc.T would add a second [N, 3] <-> [3, N]
+        # relayout per substep
+        pos4 = jnp.concatenate(
+            [jnp.pad(sp, ((0, 0), (0, pad)), constant_values=1e6),
+             cid_row])
         f_sorted = granular_pallas.contact_forces_sorted(
-            pos4, posc, windows, off, min_dist, params.k_contact,
+            pos4, posc, cidc, off, min_dist, params.k_contact,
             block=block, slab=slab, n_real=n, interpret=interpret,
-            thin=True, pipelined=True)
+            thin=True, civ=civ, mxu=mxu)
         f_self = f_sorted[:n].T[:, inv].reshape(3, h, w)
         if use_kernel:
             return cloth_pallas.substep_with_force(
@@ -304,7 +311,7 @@ def _self_collide_block(state: ClothState, params: ClothParams,
                                              "rebuild_every", "pallas_block",
                                              "pallas_slab", "interpret",
                                              "return_stats",
-                                             "use_spring_kernel"))
+                                             "use_spring_kernel", "mxu"))
 def multi_step_self_collide(state: ClothState, params: ClothParams,
                             dt: jnp.ndarray, n_steps: int, grid_spec,
                             rebuild_every: int = 1,
@@ -312,7 +319,8 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
                             pallas_slab: Optional[int] = None,
                             interpret: Optional[bool] = None,
                             return_stats: bool = False,
-                            use_spring_kernel: Optional[bool] = None):
+                            use_spring_kernel: Optional[bool] = None,
+                            mxu: bool = False):
     """``n_steps`` self-colliding substeps (BASELINE configs[3]).
 
     ``rebuild_every=1`` (default) rebuilds the spatial hash every substep
@@ -348,10 +356,12 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
         use_spring_kernel = h * w <= cloth_pallas._VMEM_PARTICLE_LIMIT
     if pallas_slab is None:
         # per-dx slab: must span one dx-group's window hull ≈ the
-        # block's own span + ~3 y-columns. s512 at b256 measured fastest
-        # with zero drops at 256² (s384 was slower — alignment quirk —
-        # and s768 pays ~18% more lane math for nothing).
-        pallas_slab = max(512, 2 * pallas_block)
+        # block's own span + ~3 y-columns, with headroom for draped
+        # states where columns compress (s512 at b256 is fastest on a
+        # flat cloth but drops ~150k window entries per rebuild once
+        # draped; s640 measured zero drops over the 512-substep bench
+        # trajectory — verify with return_stats when changing regimes).
+        pallas_slab = max(640, (5 * pallas_block // 2 + 127) // 128 * 128)
     k = rebuild_every
     n_outer, rem = divmod(n_steps, k)
 
@@ -359,7 +369,8 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
         s, dmax = carry
         s, d = _self_collide_block(s, params, dt, k, grid_spec,
                                    pallas_block, pallas_slab, interpret,
-                                   use_kernel=use_spring_kernel)
+                                   use_kernel=use_spring_kernel,
+                                   stats=return_stats, mxu=mxu)
         return (s, jnp.maximum(dmax, d)), None
 
     dmax = jnp.int32(0)
@@ -369,7 +380,8 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
     if rem:
         state, d = _self_collide_block(state, params, dt, rem, grid_spec,
                                        pallas_block, pallas_slab, interpret,
-                                       use_kernel=use_spring_kernel)
+                                       use_kernel=use_spring_kernel,
+                                       stats=return_stats, mxu=mxu)
         dmax = jnp.maximum(dmax, d)
     return (state, dmax) if return_stats else state
 
@@ -387,7 +399,8 @@ def default_self_collision_grid(config, pad: float = 1.5,
     r = config.particle_radius
     cell = 2.05 * r + skin
     span = pad * max(config.cloth_size, 2.2 * config.globe_radius)
-    dims = min(int(span / cell) + 2, 256)
+    # cap below 2^24 total cells: CIV validity carries cids exactly in f32
+    dims = min(int(span / cell) + 2, 255)
     return broadphase.GridSpec(origin=(0.0, 0.0, 0.0),
                                cell_size=cell, dims=(dims, dims, dims),
                                capacity=8)

@@ -69,6 +69,31 @@ class GranularConfig:
     # issue cost and the rebuild's window gathers (see
     # ops.granular_pallas.build_windows). Size pallas_slab to the
     # dx-triple hull (~3 y-columns + block span) and watch dropped.
+    # Measured a LOSS at 1M settled piles (columns concentrate, the
+    # merged hull outgrows the slab); kept for sparse regimes.
+    civ: bool = True                 # cid-interval validity (round 3):
+    # the kernel tests candidate validity on cid DIFFERENCES (the cid
+    # plane rides in the slab DMA) instead of per-particle window
+    # ranges — identical candidate sets bit-for-bit, but the rebuild
+    # loses its 2·9 cell_start gathers PER PARTICLE (~6.6 ns each,
+    # irreducible — the dominant rebuild cost at 1M). With
+    # return_stats=True the exact dropped-entry count is still computed
+    # (paying those gathers); the fast path reports a nonzero-iff-real
+    # indicator. Ignored when sub_block or merge is set.
+    mxu: bool = False                # MXU pair math (round 3, CIV only):
+    # d2 via |p'|²+|q'|²-2p'·q' matmul + force sums via W·[q',1] matmul
+    # (see ops.granular_pallas._pair_force_phase_civ) — ~2/3 less VPU
+    # work per candidate; forces deviate from the direct-difference form
+    # by ~1 ulp of the recentered |p'|² (<<1e-5 relative at contact).
+    thin: bool = False               # 3-group CIV (round 3): one cid
+    # interval dx·D ± (d2+1) per dx instead of 9 per-(dx,dy) intervals —
+    # a superset whose extras fail the distance test (exact +0.0
+    # contributions; same candidate SET, but summed in one reduction per
+    # dx instead of three, so forces differ from full CIV only by fp
+    # reassociation ~1e-7). 3 slab-DMA groups instead of 9 (1/3 the DMA
+    # issues) at the cost of slabs sized to ~3 y-columns + block span;
+    # wins when columns are shallow, loses in deep piles. Size
+    # pallas_slab accordingly and watch dropped. CIV only.
 
     @property
     def skin_value(self) -> float:
@@ -192,27 +217,42 @@ def _run_block(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
     return ParticleState(pos=pos[:, inv], vel=vel[:, inv]), dropped
 
 
-def _run_block_pallas(state: ParticleState, config: GranularConfig,
-                      dt: jnp.ndarray, length: int,
-                      interpret: bool) -> Tuple[ParticleState, jnp.ndarray]:
+def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
+                      config: GranularConfig, dt: jnp.ndarray, length: int,
+                      interpret: bool, stats: bool = False):
     """Frozen-window rebuild + ``length`` substeps via the slab-DMA Pallas
     kernel (ops/granular_pallas.py). Same contract as :func:`_run_block`
     but windows are consumed as ranges (no ``[N, M]`` compaction, no
     ``window``/``max_neighbors`` caps — the only truncation is slab
-    overflow, reported in the dropped count)."""
+    overflow, reported in the dropped count).
+
+    Sort-carry (round 3): takes and returns state in ITS OWN sorted
+    layout plus the permutation ``order_step`` (new slot -> input slot).
+    The caller carries the composed permutation across blocks and
+    unsorts ONCE at the end — the per-block unsort (two [3, N]
+    permutation gathers) and per-block ``argsort`` both disappear, and
+    the next rebuild sorts already-nearly-sorted planes.
+    """
     from ..ops import granular_pallas
 
     spec = config.grid_spec()
-    grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
-    n = state.pos.shape[-1]
+    grid = broadphase.build_sorted_grid(pos, vel, spec)
+    n = pos.shape[-1]
     block, slab = config.pallas_block, config.pallas_slab
     # padded size: a multiple of block that also fits one slab (the slab
     # DMA source must cover [0, slab) even for tiny n)
     n_pad = -(-max(n, slab) // block) * block
     views = None
+    civ = None
     if config.sub_block:
         windows, slab_start, views, dropped = granular_pallas.build_windows(
             grid, spec, block, slab, n_pad, sub_block=config.sub_block)
+    elif config.civ and not config.merge:
+        civ = granular_pallas.civ_bounds(spec, thin=config.thin)
+        cidf, slab_start, dropped = granular_pallas.build_offsets_civ(
+            grid, spec, block, slab, n_pad, thin=config.thin, stats=stats)
+        windows = cidf[:, None]                    # [n_pad, 1] cid column
+        cid_row = cidf[None, :]
     else:
         windows, slab_start, dropped = granular_pallas.build_windows(
             grid, spec, block, slab, n_pad, merge=config.merge)
@@ -231,19 +271,20 @@ def _run_block_pallas(state: ParticleState, config: GranularConfig,
 
     def inner(c, _):
         posc, velc = c
-        pos4 = jnp.pad(posc.T, ((0, 1), (0, 0)))   # sublane-aligned DMA src
+        if civ:
+            pos4 = jnp.concatenate([posc.T, cid_row])   # cids ride the DMA
+        else:
+            pos4 = jnp.pad(posc.T, ((0, 1), (0, 0)))    # sublane-aligned
         posc, velc = granular_pallas.substep_sorted(
             pos4, posc, velc, windows, slab_start, pvec,
             block=block, slab=slab, n_real=n, interpret=interpret,
             sub_block=config.sub_block, views=views,
             pipelined=config.pipeline and not config.sub_block,
-            merge=config.merge)
+            merge=config.merge, civ=civ, mxu=config.mxu)
         return (posc, velc), None
 
     (posc, velc), _ = jax.lax.scan(inner, (posc, velc), None, length=length)
-    inv = jnp.argsort(grid.order, stable=True)
-    return ParticleState(pos=posc[:n].T[:, inv],
-                         vel=velc[:n].T[:, inv]), dropped
+    return posc[:n].T, velc[:n].T, grid.order, dropped
 
 
 @functools.partial(jax.jit, static_argnames=("config", "n_steps",
@@ -275,19 +316,29 @@ def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
     k = max(1, config.rebuild_every)
     if backend == "pallas":
         n_outer, rem = divmod(n_steps, k)
+        n = state.pos.shape[-1]
 
         def outer(carry, _):
-            s, dmax = carry
-            s, d = _run_block_pallas(s, config, dt, k, interpret)
-            return (s, jnp.maximum(dmax, d)), None
+            pos, vel, ordc, dmax = carry
+            pos, vel, order_step, d = _run_block_pallas(
+                pos, vel, config, dt, k, interpret, stats=return_stats)
+            # compose: original index of new slot s is ordc[order_step[s]]
+            return (pos, vel, ordc[order_step],
+                    jnp.maximum(dmax, d)), None
 
-        dmax = jnp.int32(0)
+        carry = (state.pos, state.vel, jnp.arange(n, dtype=jnp.int32),
+                 jnp.int32(0))
         if n_outer:
-            (state, dmax), _ = jax.lax.scan(outer, (state, dmax), None,
-                                            length=n_outer)
+            carry, _ = jax.lax.scan(outer, carry, None, length=n_outer)
         if rem:
-            state, d = _run_block_pallas(state, config, dt, rem, interpret)
-            dmax = jnp.maximum(dmax, d)
+            pos, vel, order_step, d = _run_block_pallas(
+                carry[0], carry[1], config, dt, rem, interpret,
+                stats=return_stats)
+            carry = (pos, vel, carry[2][order_step],
+                     jnp.maximum(carry[3], d))
+        pos, vel, ordc, dmax = carry
+        inv = jnp.argsort(ordc, stable=True)     # one unsort for the run
+        state = ParticleState(pos=pos[:, inv], vel=vel[:, inv])
         return (state, dmax) if return_stats else state
     if k == 1:
         def body(carry, _):

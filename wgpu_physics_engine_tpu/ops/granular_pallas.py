@@ -281,6 +281,105 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
     return windows, off, dropped
 
 
+def build_offsets_civ(grid: broadphase.SortedGrid,
+                      spec: broadphase.GridSpec, block: int, slab: int,
+                      n_pad: int, thin: bool = False,
+                      stats: bool = False) -> Tuple[jnp.ndarray, ...]:
+    """Rebuild-time companion of CIV mode (:func:`civ_bounds`): per-block
+    slab offsets + the cid plane — ``(cidf [n_pad] f32, slab_start
+    [rows8, 2*ng] int32, dropped int32)``.
+
+    The expensive part of :func:`build_windows` is 2·ng data-dependent
+    ``cell_start`` gathers PER PARTICLE (~6.6 ns/element on v5e however
+    small the table — measured irreducible in round 3). CIV needs none:
+    the kernel tests cid differences, and slab offsets only need the
+    hull of each block's windows, which by monotonicity of
+    ``cell_start`` is ``cell_start[cmin + lo_g]`` / ``[cmax + hi_g + 1]``
+    — 2·ng gathers per BLOCK. Off-grid borders: the old per-particle
+    path anchored empty windows at the particle's slot; here the clip
+    just widens the hull toward the array edge for border blocks — the
+    group's valid set is empty either way (cid arithmetic admits no
+    candidate), so forces are identical and only border blocks scan a
+    useless slab.
+
+    ``dropped`` fast mode (``stats=False``): nonzero iff real window
+    entries are uncovered — slots beyond B are counted exactly (the hull
+    end IS some particle's window end); entries inside the A–B gap are
+    detected via monotonicity (the last particle whose window starts
+    below B has the largest window end among those; if that end clears
+    A, its entries occupy the gap) and counted as a lower bound.
+    ``stats=True`` reproduces :func:`build_windows`-style exact entry
+    counts (pays the per-particle gathers — tests and sizing runs).
+    """
+    n = grid.sorted_cid.shape[0]
+    bounds = civ_bounds(spec, thin)
+    ng = len(bounds)
+    nb = n_pad // block
+    pad = n_pad - n
+    ncells = spec.num_cells
+    cid = grid.sorted_cid.astype(jnp.int32)
+    cs = grid.cell_start
+    cid_pad = jnp.concatenate(
+        [cid, jnp.broadcast_to(cid[-1:], (pad,))]) if pad else cid
+    cblk = cid_pad.reshape(nb, block)
+    cmin = jnp.min(cblk, axis=1)
+    cmax = jnp.max(cblk, axis=1)
+    hs = jnp.stack([cs[jnp.clip(cmin + lo, 0, ncells)]
+                    for lo, _ in bounds], axis=-1)            # [nb, ng]
+    he = jnp.stack([cs[jnp.clip(cmax + hi + 1, 0, ncells)]
+                    for _, hi in bounds], axis=-1)
+    he = jnp.maximum(he, hs)
+    offa = jnp.clip((hs // 128) * 128, 0, n_pad - slab)
+    offb_raw = jnp.clip(((he - slab + 127) // 128) * 128, 0, n_pad - slab)
+    need_b = he > offa + slab
+    offb = jnp.where(need_b, offb_raw, offa)
+
+    if stats:
+        # exact entry counts against THESE offsets (per-particle gathers)
+        s = jnp.stack([cs[jnp.clip(cid + lo, 0, ncells)]
+                       for lo, _ in bounds], axis=-1)         # [n, ng]
+        e = jnp.stack([cs[jnp.clip(cid + hi + 1, 0, ncells)]
+                       for _, hi in bounds], axis=-1)
+        sblk = jnp.pad(s, ((0, pad), (0, 0)),
+                       constant_values=n).reshape(nb, block, ng)
+        eblk = jnp.pad(e, ((0, pad), (0, 0)),
+                       constant_values=n).reshape(nb, block, ng)
+        offa_e = offa[:, None, :]
+        offb_e = offb[:, None, :]
+        gap = jnp.maximum(
+            jnp.minimum(eblk, offb_e) - jnp.maximum(sblk, offa_e + slab), 0)
+        beyond = jnp.maximum(eblk - jnp.maximum(sblk, offb_e + slab), 0)
+        dropped = jnp.sum(gap + beyond, dtype=jnp.float32)
+    else:
+        beyond = jnp.maximum(he - (offb + slab), 0)
+        gaps = []
+        for g, (lo, hi) in enumerate(bounds):
+            ob = offb[:, g]
+            # s_i < offb  ⟺  cid_i <= cid[offb-1] - lo  (cell_start /
+            # sorted-cid duality); the largest such cid has the largest
+            # window end among gap-reaching windows
+            qb = cid_pad[jnp.clip(ob - 1, 0, n_pad - 1)]
+            t = qb - lo
+            cstar = jnp.max(jnp.where(cblk <= t[:, None], cblk, -1), axis=1)
+            e_star = cs[jnp.clip(cstar + hi + 1, 0, ncells)]
+            cnt = jnp.maximum(
+                jnp.minimum(e_star, ob) - (offa[:, g] + slab), 0)
+            gaps.append(jnp.where(need_b[:, g] & (cstar >= 0), cnt, 0))
+        dropped = (jnp.sum(beyond, dtype=jnp.float32)
+                   + jnp.sum(jnp.stack(gaps), dtype=jnp.float32))
+    dropped = jnp.minimum(dropped, jnp.float32(2**31 - 128)).astype(jnp.int32)
+
+    off = jnp.stack([offa, offb], axis=-1).astype(jnp.int32)
+    off = off.reshape(off.shape[0], -1)
+    pad8 = (-off.shape[0]) % 8
+    off = jnp.pad(off, ((0, pad8 + 8), (0, 0)))
+    cidf = jnp.concatenate(
+        [cid.astype(jnp.float32),
+         jnp.full((pad,), 3e7, jnp.float32)]) if pad else cid.astype(
+             jnp.float32)
+    return cidf, off, dropped
+
+
 def _extract_view(x, shift, width):
     """[4, L] -> [4, width] lanes starting at traced ``shift`` (multiple of
     8, <= L - width). Mosaic has no dynamic lane slice and its dynamic
@@ -678,17 +777,210 @@ def _pair_force_phase_merged(min_dist, k_contact, pos3_hbm, posc_blk,
     return px, py, pz, fx, fy, fz, selfs
 
 
+def civ_bounds(spec: broadphase.GridSpec, thin: bool):
+    """Static per-group cid-difference intervals for CIV mode (round 3).
+
+    CIV (cid-interval validity): instead of per-particle window ranges
+    gathered from ``cell_start`` at rebuild (the ~6.6 ns/element
+    data-dependent-gather cost that dominates the rebuild at scale), the
+    kernel carries each particle's linearized cell id and tests the
+    DIFFERENCE: candidate j is valid for center i in group g iff
+    ``cid_j - cid_i ∈ [lo_g, hi_g]``. With ``cid = (cx·d1 + cy)·d2 + cz``:
+
+    - full mode, group (dx, dy): ``dx·D + dy·d2 ± 1`` (exact z-triple);
+    - thin mode, group dx: ``dx·D ± (d2 + 1)`` (the y/z-merged superset).
+
+    These are EXACTLY the slot sets of the window formulation
+    (``[cell_start[c_lo], cell_start[c_hi + 1])`` = slots with cid in
+    ``[c_lo, c_hi]``), so forces are bitwise identical given the same
+    slab offsets. Border behavior: the intervals do not clip at grid
+    borders, so they can "wrap" to cells in an adjacent row/column —
+    every such wrapped cell differs by ≥ 2 cells along some axis
+    (requires ``dims ≥ 3`` on each axis), i.e. ≥ cell_size ≥ the contact
+    (+skin) radius away, and the kernel's distance test rejects it. The
+    9 full-mode intervals are pairwise disjoint for ``d2 ≥ 3`` — no
+    candidate is double-counted. f32 carries cid exactly while
+    ``num_cells < 2^24``.
+    """
+    assert spec.num_cells < 2 ** 24, "cid exceeds f32 exact-integer range"
+    assert min(spec.dims) >= 3, "CIV border-wrap safety needs dims >= 3"
+    d1, d2 = spec.dims[1], spec.dims[2]
+    big = d1 * d2
+    if thin:
+        return tuple((dx * big - d2 - 1, dx * big + d2 + 1)
+                     for dx in (-1, 0, 1))
+    return tuple((dx * big + dy * d2 - 1, dx * big + dy * d2 + 1)
+                 for dx, dy in broadphase.OFFSETS_XY)
+
+
+def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
+                          cidc_blk, slab_ref, slab_next_ref, slabs,
+                          facc, sems, *, block, slab, bounds, mxu=False):
+    """CIV variant of :func:`_pair_force_phase_pipelined`: validity is
+    ``cid_j - cid_i ∈ bounds[g]`` computed from the cid plane that rides
+    in ``pos3_hbm`` row 3 (one fused DMA brings positions + cids), so the
+    per-particle window operand and its rebuild-time gathers disappear.
+    ``bounds`` are static Python ints from :func:`civ_bounds`.
+
+    ``mxu=True`` moves the dense [block, slab] pair math onto the MXU
+    (round 3): ``d2 = |p'|^2 + |q'|^2 - 2 p'.q'`` via one [B,3]x[3,S]
+    matmul, and the three force components via one [B,S]x[S,4] matmul
+    using ``f_i = p'_i * sum_j(w_ij) - sum_j(w_ij q'_j)`` — the VPU then
+    only evaluates the validity mask and the weight ``w`` (~2/3 fewer
+    elementwise ops, and no [B,S] reductions). Positions are recentered
+    on the block's first particle before squaring: the slab hull spans a
+    few cells, so ``|p'|^2`` stays small and the classic cancellation in
+    the expanded form costs ~1 ulp of ``|p'|^2`` (measured ~1e-5
+    relative on d2 at contact range) — far below the frozen-window
+    schedule's own deviation. NOT bitwise-equal to the direct-difference
+    form; guarded by tolerance tests (test_granular_pallas.py).
+    """
+    ng = len(bounds)
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    row = jax.lax.rem(b, 8)
+    par = jax.lax.rem(b, 2)
+
+    def issue(ref, row_idx, buf):
+        for g in range(ng):
+            offa = pl.multiple_of(ref[row_idx, g * 2], 128)
+            offb = pl.multiple_of(ref[row_idx, g * 2 + 1], 128)
+            pltpu.make_async_copy(
+                pos3_hbm.at[:, pl.ds(offa, slab)], slabs.at[buf, g, 0],
+                sems.at[buf, g, 0]).start()
+
+            @pl.when(offb > offa)
+            def _start_b(offb=offb, g=g, buf=buf):
+                pltpu.make_async_copy(
+                    pos3_hbm.at[:, pl.ds(offb, slab)], slabs.at[buf, g, 1],
+                    sems.at[buf, g, 1]).start()
+
+    @pl.when(b == 0)
+    def _prime():
+        issue(slab_ref, row, par)
+
+    @pl.when(b + 1 < nb)
+    def _prefetch_next():
+        issue(slab_next_ref, jax.lax.rem(b + 1, 8), 1 - par)
+
+    px = posc_blk[:, 0:1]
+    py = posc_blk[:, 1:2]
+    pz = posc_blk[:, 2:3]
+    pc = cidc_blk[:, 0:1]
+    selfs = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    fx = jnp.zeros((block, 1), jnp.float32)
+    fy = jnp.zeros((block, 1), jnp.float32)
+    fz = jnp.zeros((block, 1), jnp.float32)
+    facc[...] = jnp.zeros((block, 4), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
+
+    center = ng // 2      # only this group's interval contains dcid == 0
+
+    if mxu:
+        # recenter on the block's first particle: slab hulls span a few
+        # cells, keeping |p'|^2 small enough that the expanded-form d2
+        # stays accurate at contact range
+        cx = posc_blk[0:1, 0:1]        # [1,1]: broadcasts against both
+        cy = posc_blk[0:1, 1:2]        # [B,1] block columns and [1,S]
+        cz = posc_blk[0:1, 2:3]        # slab rows
+        pxc = px - cx
+        pyc = py - cy
+        pzc = pz - cz
+        pmat = jnp.concatenate([pxc, pyc, pzc], axis=1)       # [B, 3]
+        p2 = pxc * pxc + pyc * pyc + pzc * pzc                # [B, 1]
+        md2 = min_dist * min_dist
+        eps2 = jnp.float32(_EPS * _EPS)
+        dn_d = (((1,), (0,)), ((), ()))       # [B,3] x [3,S] -> [B,S]
+        dn_w = (((1,), (1,)), ((), ()))       # [B,S] x [4,S] -> [B,4]
+        ones_row = jnp.ones((1, slab), jnp.float32)
+
+    def pair_sums(qslab, jg, lo_k, hi_k, lo, check_self):
+        qc = qslab[3:4, :]
+        dc = qc - pc
+        valid = (dc >= lo_k) & (dc <= hi_k)
+        if lo is not None:
+            valid = valid & (jg >= lo)
+        if check_self:
+            valid = valid & (jg != selfs)
+        if mxu:
+            qxc = qslab[0:1, :] - cx
+            qyc = qslab[1:2, :] - cy
+            qzc = qslab[2:3, :] - cz
+            q2 = qxc * qxc + qyc * qyc + qzc * qzc            # [1, S]
+            qm = jnp.concatenate([qxc, qyc, qzc], axis=0)     # [3, S]
+            dot = jax.lax.dot_general(
+                pmat, qm, dn_d, preferred_element_type=jnp.float32)
+            d2 = (p2 + q2) - (dot + dot)
+            touching = valid & (d2 < md2) & (d2 > eps2)
+            inv = jax.lax.rsqrt(jnp.where(d2 > eps2, d2, 1.0))
+            w = jnp.where(touching, k_contact * (min_dist * inv - 1.0),
+                          0.0)
+            q4 = jnp.concatenate([qm, ones_row], axis=0)      # [4, S]
+            s = jax.lax.dot_general(
+                w, q4, dn_w, preferred_element_type=jnp.float32)
+            wsum = s[:, 3:4]
+            return (pxc * wsum - s[:, 0:1],
+                    pyc * wsum - s[:, 1:2],
+                    pzc * wsum - s[:, 2:3])
+        dx = px - qslab[0:1, :]
+        dy = py - qslab[1:2, :]
+        dz = pz - qslab[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        touching = valid & (d2 < min_dist * min_dist) & (d2 > _EPS * _EPS)
+        inv = jax.lax.rsqrt(jnp.where(d2 > _EPS * _EPS, d2, 1.0))
+        w = jnp.where(touching, k_contact * (min_dist * inv - 1.0), 0.0)
+        return (jnp.sum(w * dx, axis=1, keepdims=True),
+                jnp.sum(w * dy, axis=1, keepdims=True),
+                jnp.sum(w * dz, axis=1, keepdims=True))
+
+    for g in range(ng):
+        lo_k = jnp.float32(bounds[g][0])
+        hi_k = jnp.float32(bounds[g][1])
+        offa = slab_ref[row, g * 2]
+        offb = slab_ref[row, g * 2 + 1]
+        pltpu.make_async_copy(
+            pos3_hbm.at[:, pl.ds(pl.multiple_of(offa, 128), slab)],
+            slabs.at[par, g, 0], sems.at[par, g, 0]).wait()
+        sx, sy, sz = pair_sums(
+            slabs[par, g, 0], lane + offa, lo_k, hi_k, None, g == center)
+        fx = fx + sx
+        fy = fy + sy
+        fz = fz + sz
+
+        @pl.when(offb > offa)
+        def _pass_b(g=g, offa=offa, offb=offb, lo_k=lo_k, hi_k=hi_k):
+            pltpu.make_async_copy(
+                pos3_hbm.at[:, pl.ds(pl.multiple_of(offb, 128), slab)],
+                slabs.at[par, g, 1], sems.at[par, g, 1]).wait()
+            bx, by, bz = pair_sums(
+                slabs[par, g, 1], lane + offb, lo_k, hi_k, offa + slab,
+                g == center)
+            facc[:, 0:1] += bx
+            facc[:, 1:2] += by
+            facc[:, 2:3] += bz
+
+    fx = fx + facc[:, 0:1]
+    fy = fy + facc[:, 1:2]
+    fz = fz + facc[:, 2:3]
+    return px, py, pz, fx, fy, fz, selfs
+
+
 def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
             *rest, block, slab, n_real, sub_block=0, pipelined=False,
-            merge=False):
+            merge=False, civ=None, mxu=False):
     """One granular substep for sorted-block ``b = program_id(0)``:
     the shared pair-force phase, then gravity -> Euler -> wall clamp &
     reflect — op order matching models/granular._frozen_substep exactly.
+
+    ``civ``: static per-group cid-difference bounds (:func:`civ_bounds`);
+    when set, ``win_blk`` is the [block, 1] f32 cid column instead of
+    window ranges and the CIV pair phase runs (always cross-block
+    pipelined).
     """
     slab_next_ref = views_ref = None
     if sub_block:
         views_ref, posc_out, velc_out, slabs, facc, sems = rest
-    elif pipelined or merge:
+    elif pipelined or merge or civ:
         slab_next_ref, posc_out, velc_out, slabs, facc, sems = rest
     else:
         posc_out, velc_out, slabs, facc, sems = rest
@@ -699,7 +991,12 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     restitution = params_ref[4]
     limit = params_ref[5]
 
-    if merge:
+    if civ:
+        px, py, pz, fx, fy, fz, selfs = _pair_force_phase_civ(
+            min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
+            slab_next_ref, slabs, facc, sems, block=block, slab=slab,
+            bounds=civ, mxu=mxu)
+    elif merge:
         px, py, pz, fx, fy, fz, selfs = _pair_force_phase_merged(
             min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
             slab_next_ref, slabs, facc, sems, block=block, slab=slab)
@@ -740,18 +1037,24 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
 
 def _forces_kernel(params_ref, pos3_hbm, posc_blk, win_blk, slab_ref,
                    *rest, block, slab, n_real, ng=_NG, ngp=_NGP,
-                   sub_block=0, pipelined=False, merge=False):
+                   sub_block=0, pipelined=False, merge=False, civ=None,
+                   mxu=False):
     """Force-only variant: write the pair contact-force sums and stop —
     the caller owns integration (cloth self-collision folds these into
     its spring-force accumulation, models/cloth.self_collision_forces)."""
     slab_next_ref = views_ref = None
     if sub_block:
         views_ref, f_out, slabs, facc, sems = rest
-    elif pipelined or merge:
+    elif pipelined or merge or civ:
         slab_next_ref, f_out, slabs, facc, sems = rest
     else:
         f_out, slabs, facc, sems = rest
-    if merge:
+    if civ:
+        _, _, _, fx, fy, fz, selfs = _pair_force_phase_civ(
+            params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
+            slab_ref, slab_next_ref, slabs, facc, sems, block=block,
+            slab=slab, bounds=civ, mxu=mxu)
+    elif merge:
         _, _, _, fx, fy, fz, selfs = _pair_force_phase_merged(
             params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
             slab_ref, slab_next_ref, slabs, facc, sems, block=block,
@@ -778,7 +1081,8 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                           n_real: int, interpret: bool,
                           thin: bool = False, sub_block: int = 0,
                           views=None, pipelined: bool = False,
-                          merge: bool = False) -> jnp.ndarray:
+                          merge: bool = False, civ=None,
+                          mxu: bool = False) -> jnp.ndarray:
     """Pairwise penalty contact forces on padded SORTED positions.
 
     Same slab-DMA machinery as :func:`substep_sorted` but returns forces
@@ -789,11 +1093,15 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
     ``merge=True`` consumes ``build_windows(merge=True)`` offsets: one
     A/B slab pair per dx-triple of window ranges (always cross-block
     pipelined); ``pipelined``/``sub_block`` are ignored.
+
+    ``civ``: static bounds from :func:`civ_bounds` — ``windows`` is then
+    the [n_pad, 1] f32 cid column and ``pos3`` must carry cids in row 3
+    (``build_offsets_civ`` returns both); always cross-block pipelined.
     """
     n_pad = posc.shape[0]
     nb = n_pad // block
     ng, ngp = (3, 4) if thin else (_NG, _NGP)
-    if merge:
+    if merge or civ:
         sub_block = 0
         pipelined = False
     ngd = ng // 3 if merge else ng
@@ -802,17 +1110,18 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
     kernel = functools.partial(_forces_kernel, block=block, slab=slab,
                                n_real=n_real, ng=ng, ngp=ngp,
                                sub_block=sub_block, pipelined=pipelined,
-                               merge=merge)
+                               merge=merge, civ=civ, mxu=mxu)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),        # params
         pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
         pl.BlockSpec((block, 3), lambda b: (b, 0)),
-        pl.BlockSpec((block, 2 * ngp), lambda b: (b, 0)),
+        pl.BlockSpec((block, 1) if civ else (block, 2 * ngp),
+                     lambda b: (b, 0)),
         pl.BlockSpec((8, 2 * ngd), lambda b: (b // 8, 0),
                      memory_space=pltpu.SMEM),
     ]
     operands = [pvec, pos3, posc, windows, slab_start]
-    if (pipelined or merge) and not sub_block:
+    if (pipelined or merge or civ) and not sub_block:
         # the SAME offset table again, windowed one block ahead: block
         # b's prefetch of block b+1's slabs reads row (b+1)%8 here
         in_specs.append(pl.BlockSpec((8, 2 * ngd),
@@ -826,7 +1135,7 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                                      memory_space=pltpu.SMEM))
         operands.append(views)
         slab_scratch = pltpu.VMEM((ng, 4, 2 * slab), jnp.float32)
-    elif pipelined or merge:
+    elif pipelined or merge or civ:
         slab_scratch = pltpu.VMEM((2, ngd, 2, 4, slab), jnp.float32)
     else:
         slab_scratch = pltpu.VMEM((ng, 2, 4, slab), jnp.float32)
@@ -838,7 +1147,8 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
         scratch_shapes=[
             slab_scratch,
             pltpu.VMEM((block, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, ngd, 2) if (pipelined or merge)
+            pltpu.SemaphoreType.DMA((2, ngd, 2)
+                                    if (pipelined or merge or civ)
                                     else (ng, 2)),
         ],
         out_shape=jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
@@ -853,7 +1163,7 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                    params_vec: jnp.ndarray, *, block: int, slab: int,
                    n_real: int, interpret: bool, sub_block: int = 0,
                    views=None, pipelined: bool = False,
-                   merge: bool = False
+                   merge: bool = False, civ=None, mxu: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One substep on padded SORTED state. ``pos3`` [4, Np] (DMA slab
     source; rows x/y/z + one dead alignment row), ``posc``/``velc``
@@ -864,22 +1174,28 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
     ``merge=True``: merged-slab mode (one A/B slab pair per dx-triple;
     requires ``build_windows(merge=True)`` offsets; always cross-block
     pipelined; ``pipelined``/``sub_block`` are ignored).
+
+    ``civ``: static bounds from :func:`civ_bounds` — ``windows`` is then
+    the [n_pad, 1] f32 cid column and ``pos3`` row 3 carries cids
+    (``build_offsets_civ`` returns both); always cross-block pipelined.
     """
     n_pad = posc.shape[0]
     nb = n_pad // block
-    if merge:
+    if merge or civ:
         sub_block = 0
         pipelined = False
-    ngd = _NG // 3 if merge else _NG
+    ngd = _NG // 3 if merge else (len(civ) if civ else _NG)
     kernel = functools.partial(_kernel, block=block, slab=slab,
                                n_real=n_real, sub_block=sub_block,
-                               pipelined=pipelined, merge=merge)
+                               pipelined=pipelined, merge=merge, civ=civ,
+                               mxu=mxu)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),        # params
         pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
         pl.BlockSpec((block, 3), lambda b: (b, 0)),
         pl.BlockSpec((block, 3), lambda b: (b, 0)),
-        pl.BlockSpec((block, 2 * _NGP), lambda b: (b, 0)),
+        pl.BlockSpec((block, 1) if civ else (block, 2 * _NGP),
+                     lambda b: (b, 0)),
         # slab offsets: an [8, 18] SMEM tile per 8 blocks — bounded
         # SMEM at any N (a flat scalar-prefetch array overflows
         # ~512 KB of SMEM past ~7.3k blocks and corrupts memory
@@ -888,7 +1204,7 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                      memory_space=pltpu.SMEM),
     ]
     operands = [params_vec, pos3, posc, velc, windows, slab_start]
-    if (pipelined or merge) and not sub_block:
+    if (pipelined or merge or civ) and not sub_block:
         in_specs.append(pl.BlockSpec((8, 2 * ngd),
                                      lambda b: ((b + 1) // 8, 0),
                                      memory_space=pltpu.SMEM))
@@ -900,7 +1216,7 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                                      memory_space=pltpu.SMEM))
         operands.append(views)
         slab_scratch = pltpu.VMEM((_NG, 4, 2 * slab), jnp.float32)
-    elif pipelined or merge:
+    elif pipelined or merge or civ:
         slab_scratch = pltpu.VMEM((2, ngd, 2, 4, slab), jnp.float32)
     else:
         slab_scratch = pltpu.VMEM((_NG, 2, 4, slab), jnp.float32)
@@ -915,7 +1231,8 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
         scratch_shapes=[
             slab_scratch,
             pltpu.VMEM((block, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, ngd, 2) if (pipelined or merge)
+            pltpu.SemaphoreType.DMA((2, ngd, 2)
+                                    if (pipelined or merge or civ)
                                     else (_NG, 2)),
         ],
         out_shape=(
