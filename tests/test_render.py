@@ -133,6 +133,30 @@ def test_texture_bilinear_wrap():
     np.testing.assert_allclose(np.asarray(s[0]), np.asarray(s[1]), atol=1e-4)
 
 
+def test_packed_sampler_matches_unpacked():
+    """pack_rgb8 + sample_bilinear_packed vs sample_bilinear on an
+    8-bit-quantized texture: identical taps and lerp order, so results
+    agree to the k*(1/255)-vs-k/255 unpack rounding. Also pins the
+    format dispatch in T.sample and the packed draw_globe path."""
+    rng = np.random.default_rng(11)
+    tex8 = rng.integers(0, 256, (32, 48, 3)).astype(np.float32) / 255.0
+    tex = jnp.asarray(tex8)
+    packed = T.pack_rgb8(tex)
+    assert packed.dtype == jnp.uint32 and packed.shape == (32, 48)
+    u = jnp.asarray(rng.uniform(-0.2, 1.2, (64,)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-0.2, 1.2, (64,)).astype(np.float32))
+    a = np.asarray(T.sample_bilinear(tex, u, v))
+    b = np.asarray(T.sample_bilinear_packed(packed, u, v))
+    np.testing.assert_allclose(b, a, atol=1e-6, rtol=0)
+    np.testing.assert_array_equal(np.asarray(T.sample(packed, u, v)), b)
+    # full render path: globe drawn from packed vs fp32 texture
+    cam = R.make_camera(cfg.CameraConfig(), aspect=1.0)
+    fb1 = R.draw_globe(R.clear(32, 32), cam, 10.0, tex, LIGHT)
+    fb2 = R.draw_globe(R.clear(32, 32), cam, 10.0, packed, LIGHT)
+    np.testing.assert_allclose(np.asarray(fb2.color), np.asarray(fb1.color),
+                               atol=1e-5, rtol=0)
+
+
 def test_named_texture_resolution():
     t = T.get("red.png")
     np.testing.assert_allclose(np.asarray(t[0, 0]), [1, 0, 0])

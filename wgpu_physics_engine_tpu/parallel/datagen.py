@@ -211,11 +211,13 @@ def generate_trajectory_dataset(
     """
     import numpy as np
 
-    # 256 mip of the globe texture: gathers from a 512² fp32 texture fall
-    # out of cache and cost +1.3 ms/world at 512 worlds (measured round 3);
-    # at 256² output the lost detail is sub-pixel
-    globe_tex = (T.get("mesh", max_size=256) if globe_tex is None
-                 else globe_tex)
+    # 256 mip of the globe texture, packed to one uint32 RGB8 plane:
+    # gathers from a 512² fp32 texture fall out of cache and cost
+    # +1.3 ms/world at 512 worlds (measured round 3; at 256² output the
+    # lost detail is sub-pixel), and packing cuts the sampler's gathers
+    # from 12/pixel to 4 with a 3× smaller table (see texture.pack_rgb8)
+    globe_tex = (T.pack_rgb8(T.get("mesh", max_size=256))
+                 if globe_tex is None else globe_tex)
     world_chunk = world_chunk or n_worlds
     dt = jnp.float32(1.0 / config.hz)
 

@@ -94,7 +94,7 @@ def draw_globe(fb: Framebuffer, camera: Camera, radius,
     theta = jnp.arctan2(rel[1], rel[0])
     u = jnp.mod(theta / (2.0 * jnp.pi), 1.0)
     v = (jnp.pi / 2.0 - jnp.arcsin(z_over_r)) / jnp.pi
-    albedo = tex_mod.sample_bilinear(texture, u, v)
+    albedo = tex_mod.sample(texture, u, v)
 
     color = shading.phong(p_view, n_view, albedo, _light_view(camera, light),
                           light, compute_specular)
@@ -215,7 +215,7 @@ def draw_instanced_spheres(
         theta = jnp.arctan2(rel[1], rel[0])
         u = jnp.mod(theta / (2.0 * jnp.pi), 1.0)
         v = (jnp.pi / 2.0 - jnp.arcsin(z_over_r)) / jnp.pi
-        albedo = tex_mod.sample_bilinear(texture, u, v)
+        albedo = tex_mod.sample(texture, u, v)
     else:
         albedo = jnp.broadcast_to(jnp.asarray(flat_color, jnp.float32), (h, w, 3))
 
@@ -574,7 +574,7 @@ def draw_mesh(fb: Framebuffer, camera: Camera, mesh: DeviceMesh,
         color = interp(mesh.colors).reshape(h, w, 3)
     else:
         if texture is not None:
-            albedo = tex_mod.sample_bilinear(
+            albedo = tex_mod.sample(
                 texture, uv[:, 0].reshape(h, w), uv[:, 1].reshape(h, w))
         else:
             albedo = jnp.ones((h, w, 3), jnp.float32)
