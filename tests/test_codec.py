@@ -215,6 +215,31 @@ def test_texture_get_max_size_mips():
     np.testing.assert_allclose(np.asarray(mip), box, atol=1e-6)
 
 
+def test_datagen_cached_globe_matches_per_frame():
+    """cache_globe=True (globe+background rendered once per world and
+    composited under every frame) must produce the same images as
+    re-rendering the globe per frame — same compositing inputs, only
+    cross-frame reuse changes (uint8 may differ by 1 on XLA-fusion
+    rounding boundaries)."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.parallel import datagen
+
+    kw = dict(n_worlds=3, n_frames=2, steps_per_frame=2,
+              key=jax.random.key(2), fb_size=(16, 16), use_pallas=False,
+              randomize_cameras=True)
+    c = cfg.ClothConfig(height=8, width=8)
+    a = [im for _, im, _ in
+         datagen.generate_trajectory_dataset(c, cache_globe=True, **kw)]
+    b = [im for _, im, _ in
+         datagen.generate_trajectory_dataset(c, cache_globe=False, **kw)]
+    for ia, ib in zip(a, b):
+        diff = np.abs(ia.astype(np.int16) - ib.astype(np.int16))
+        assert diff.max() <= 1
+        # the globe must actually be IN the cached-path frames (not a
+        # cleared background): some non-background pixels exist
+        assert (ia.reshape(3, -1, 3) != ia[:, :1, :1]).any()
+
+
 def test_datagen_world_chunk_remainder():
     """Requesting n_worlds not divisible by world_chunk generates ALL
     worlds via a final short chunk (regression: 100 worlds with chunk 64
