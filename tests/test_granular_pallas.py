@@ -151,6 +151,12 @@ def test_mxu_kernel_matches_vpu():
                                atol=1e-4, rtol=0)
     np.testing.assert_allclose(np.asarray(out_m.vel), np.asarray(out_v.vel),
                                atol=1e-3, rtol=0)
+    # "sums" hybrid: bit-identical per-pair weights, MXU reductions only —
+    # tighter envelope (pure reassociation noise)
+    cfg_s = granular.GranularConfig(**base, mxu="sums")
+    out_s = granular.multi_step(state, cfg_s, dt, 10, backend="pallas")
+    np.testing.assert_allclose(np.asarray(out_s.pos), np.asarray(out_v.pos),
+                               atol=1e-5, rtol=0)
 
 
 def test_thin_civ_matches_full():

@@ -80,11 +80,13 @@ class GranularConfig:
     # return_stats=True the exact dropped-entry count is still computed
     # (paying those gathers); the fast path reports a nonzero-iff-real
     # indicator. Ignored when sub_block or merge is set.
-    mxu: bool = False                # MXU pair math (round 3, CIV only):
-    # d2 via |p'|²+|q'|²-2p'·q' matmul + force sums via W·[q',1] matmul
-    # (see ops.granular_pallas._pair_force_phase_civ) — ~2/3 less VPU
-    # work per candidate; forces deviate from the direct-difference form
-    # by ~1 ulp of the recentered |p'|² (<<1e-5 relative at contact).
+    mxu: object = False              # MXU pair math (round 3, CIV only):
+    # True = d2 via |p'|²+|q'|²-2p'·q' matmul + force sums via W·[q',1]
+    # matmul (see ops.granular_pallas._pair_force_phase_civ) — ~2/3 less
+    # VPU work per candidate; d2 carries ~1 ulp of the slab extent² (up
+    # to ~1e-3 relative contact-distance error for near-threshold
+    # pairs). "sums" = hybrid: exact VPU d2/w (bit-identical weights),
+    # only the force-sum reductions ride the MXU.
     thin: bool = False               # 3-group CIV (round 3): one cid
     # interval dx·D ± (d2+1) per dx instead of 9 per-(dx,dy) intervals —
     # a superset whose extras fail the distance test (exact +0.0

@@ -828,12 +828,19 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
     using ``f_i = p'_i * sum_j(w_ij) - sum_j(w_ij q'_j)`` — the VPU then
     only evaluates the validity mask and the weight ``w`` (~2/3 fewer
     elementwise ops, and no [B,S] reductions). Positions are recentered
-    on the block's first particle before squaring: the slab hull spans a
-    few cells, so ``|p'|^2`` stays small and the classic cancellation in
-    the expanded form costs ~1 ulp of ``|p'|^2`` (measured ~1e-5
-    relative on d2 at contact range) — far below the frozen-window
-    schedule's own deviation. NOT bitwise-equal to the direct-difference
-    form; guarded by tolerance tests (test_granular_pallas.py).
+    on the block's first particle before squaring, but a slab can still
+    span a full grid z-column, so the expanded form carries up to
+    ~1 ulp of the column extent squared in d2 — worst case ~1e-3
+    relative in contact distance for near-threshold pairs (small-|w|
+    pairs, so force noise stays ~1e-3 of a typical contact force; far
+    below the frozen-window schedule's own chaotic divergence). NOT
+    bitwise-equal to the direct-difference form; guarded by tolerance
+    tests (test_granular_pallas.py).
+
+    ``mxu="sums"``: hybrid — d2/w stay on the VPU (direct differences,
+    ZERO extra d2 error; per-pair weights bit-identical to mxu=False)
+    and only the three force-sum reductions ride the MXU; force totals
+    differ from the VPU form purely by summation reassociation.
     """
     ng = len(bounds)
     b = pl.program_id(0)
@@ -906,11 +913,19 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
             qxc = qslab[0:1, :] - cx
             qyc = qslab[1:2, :] - cy
             qzc = qslab[2:3, :] - cz
-            q2 = qxc * qxc + qyc * qyc + qzc * qzc            # [1, S]
             qm = jnp.concatenate([qxc, qyc, qzc], axis=0)     # [3, S]
-            dot = jax.lax.dot_general(
-                pmat, qm, dn_d, preferred_element_type=jnp.float32)
-            d2 = (p2 + q2) - (dot + dot)
+            if mxu == "sums":
+                # hybrid: d2 from RAW differences (bit-identical per-pair
+                # weights to mxu=False), MXU only for the reductions
+                dx = px - qslab[0:1, :]
+                dy = py - qslab[1:2, :]
+                dz = pz - qslab[2:3, :]
+                d2 = dx * dx + dy * dy + dz * dz
+            else:
+                q2 = qxc * qxc + qyc * qyc + qzc * qzc        # [1, S]
+                dot = jax.lax.dot_general(
+                    pmat, qm, dn_d, preferred_element_type=jnp.float32)
+                d2 = (p2 + q2) - (dot + dot)
             touching = valid & (d2 < md2) & (d2 > eps2)
             inv = jax.lax.rsqrt(jnp.where(d2 > eps2, d2, 1.0))
             w = jnp.where(touching, k_contact * (min_dist * inv - 1.0),
