@@ -1,0 +1,60 @@
+"""Datagen phase profile: physics / render(flat,tex,packed,cached) / codec."""
+import time
+import jax, jax.numpy as jnp
+import numpy as np
+
+from wgpu_physics_engine_tpu.core import config as cfg
+from wgpu_physics_engine_tpu.parallel import datagen, codec
+from wgpu_physics_engine_tpu.render import texture as T
+from wgpu_physics_engine_tpu import render as R
+
+NW = 512
+c = cfg.ClothConfig(height=256, width=256)
+key = jax.random.key(0)
+batch = datagen.randomized_worlds(c, NW, key)
+cams = datagen.randomized_cameras(NW, jax.random.fold_in(key, 7))
+dt = jnp.float32(1 / c.hz)
+tex_f32 = T.get("mesh", max_size=256)
+tex_pack = T.pack_rgb8(tex_f32)
+solid = T.solid((0.3, 0.5, 0.7))
+
+
+def timeit(tag, fn):
+    np.asarray(jax.tree.leaves(fn())[0])[:1]
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        r = fn()
+        np.asarray(jax.tree.leaves(r)[0])[:1]
+        best = min(best, time.time() - t0)
+    print(f"{tag:38s} {best:7.3f}s = {best/NW*1e3:6.2f} ms/world", flush=True)
+    return r
+
+
+# physics only (24 substeps like the earlier probes)
+from wgpu_physics_engine_tpu.ops import cloth_pallas
+timeit("physics 24 substeps", lambda: cloth_pallas.multi_step(
+    batch.state, batch.params, dt, 24))
+
+# step+render variants (24 substeps + render + uint8)
+timeit("s+r solid tex", lambda: datagen.step_and_render(
+    batch, dt, 24, cams, solid)[1])
+timeit("s+r f32 tex256", lambda: datagen.step_and_render(
+    batch, dt, 24, cams, tex_f32)[1])
+timeit("s+r packed tex256", lambda: datagen.step_and_render(
+    batch, dt, 24, cams, tex_pack)[1])
+
+base = datagen.globe_base_fbs(cams, batch.params, tex_pack)
+jax.block_until_ready(base.color)
+timeit("s+r packed cached-globe", lambda: datagen.step_and_render(
+    batch, dt, 24, cams, tex_pack, base_fb=base)[1])
+
+# + codec
+timeit("s+r cached + codec k16", lambda: codec.encode(
+    datagen.step_and_render(batch, dt, 24, cams, tex_pack,
+                            base_fb=base)[1], k=16))
+
+# render-only isolation: 0 substeps
+timeit("r only cached (0 substeps)", lambda: datagen.step_and_render(
+    batch, dt, 0, cams, tex_pack, base_fb=base)[1])
+print("done", flush=True)
