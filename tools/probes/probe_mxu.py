@@ -71,6 +71,27 @@ time_sc("sc base K16 s640", rebuild_every=16, pallas_slab=640)
 time_sc("sc mxu  K16 s640", rebuild_every=16, pallas_slab=640, mxu=True)
 time_sc("sc sums K16 s640", rebuild_every=16, pallas_slab=640, mxu="sums")
 time_sc("sc mxu  K32 s640", rebuild_every=32, pallas_slab=640, mxu=True)
+# contact kernel is DMA-issue-bound at b256 (~1024 slab DMAs/launch):
+# bigger blocks halve the issue count; thin mode keeps slab growth ~5/2·b
+time_sc("sc base K16 b512 s1280", rebuild_every=16, pallas_block=512,
+        pallas_slab=1280)
+time_sc("sc mxu  K16 b512 s1280", rebuild_every=16, pallas_block=512,
+        pallas_slab=1280, mxu=True)
+time_sc("sc base K16 b512 s1536", rebuild_every=16, pallas_block=512,
+        pallas_slab=1536)
+time_sc("sc base K16 b128 s384", rebuild_every=16, pallas_block=128,
+        pallas_slab=384)
+
+def drops_sc(tag, n_steps=512, **kw):
+    _, d = cloth.multi_step_self_collide(cstate, params, DTC, n_steps, spec,
+                                         return_stats=True, **kw)
+    print(f"{tag:42s} dropped={int(d)}", flush=True)
+
+
+drops_sc("sc b512 s1280 drops", rebuild_every=16, pallas_block=512,
+         pallas_slab=1280)
+drops_sc("sc b128 s384 drops", rebuild_every=16, pallas_block=128,
+         pallas_slab=384)
 
 # micro: inverse permutation via argsort vs scatter at 65k (SC rebuild)
 nn = 65536
