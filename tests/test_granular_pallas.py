@@ -35,7 +35,7 @@ def _brute_step(pos, vel, cfg, dt):
 def test_pallas_matches_xla_frozen():
     """Same frozen-window schedule, slab kernel vs gather path — identical
     candidate sets, so results agree to accumulation-order noise. N=500 is
-    not a multiple of pallas_block (padding exercised) and 10 steps is not
+    not a multiple of pallas_block (padding exercised) and 6 steps is not
     a multiple of rebuild_every=4 (remainder block exercised)."""
     cfg = granular.GranularConfig(
         num_particles=500, bounds=2.0, radius=0.08, restitution=0.4,
@@ -43,9 +43,9 @@ def test_pallas_matches_xla_frozen():
         pallas_block=128, pallas_slab=512)
     state = granular.init_state(cfg, jax.random.PRNGKey(0))
     dt = jnp.float32(1 / 240)
-    out_x, drop_x = granular.multi_step(state, cfg, dt, 10,
+    out_x, drop_x = granular.multi_step(state, cfg, dt, 6,
                                         return_stats=True, backend="xla")
-    out_p, drop_p = granular.multi_step(state, cfg, dt, 10,
+    out_p, drop_p = granular.multi_step(state, cfg, dt, 6,
                                         return_stats=True, backend="pallas")
     assert int(drop_x) == 0 and int(drop_p) == 0
     np.testing.assert_allclose(np.asarray(out_p.pos), np.asarray(out_x.pos),
@@ -67,9 +67,9 @@ def test_subview_kernel_matches_dense():
         rebuild_every=4, pallas_block=128, pallas_slab=512, sub_block=32)
     state = granular.init_state(cfg_d, jax.random.PRNGKey(2))
     dt = jnp.float32(1 / 240)
-    out_d, drop_d = granular.multi_step(state, cfg_d, dt, 10,
+    out_d, drop_d = granular.multi_step(state, cfg_d, dt, 6,
                                         return_stats=True, backend="pallas")
-    out_v, drop_v = granular.multi_step(state, cfg_v, dt, 10,
+    out_v, drop_v = granular.multi_step(state, cfg_v, dt, 6,
                                         return_stats=True, backend="pallas")
     assert int(drop_d) == 0 and int(drop_v) == 0
     np.testing.assert_allclose(np.asarray(out_v.pos), np.asarray(out_d.pos),
@@ -92,9 +92,9 @@ def test_merged_kernel_matches_dense():
     cfg_m = granular.GranularConfig(**base, merge=True)
     state = granular.init_state(cfg_d, jax.random.PRNGKey(5))
     dt = jnp.float32(1 / 240)
-    out_d, drop_d = granular.multi_step(state, cfg_d, dt, 10,
+    out_d, drop_d = granular.multi_step(state, cfg_d, dt, 6,
                                         return_stats=True, backend="pallas")
-    out_m, drop_m = granular.multi_step(state, cfg_m, dt, 10,
+    out_m, drop_m = granular.multi_step(state, cfg_m, dt, 6,
                                         return_stats=True, backend="pallas")
     assert int(drop_d) == 0 and int(drop_m) == 0
     np.testing.assert_allclose(np.asarray(out_m.pos), np.asarray(out_d.pos),
@@ -116,8 +116,8 @@ def test_civ_kernel_matches_windows_bitwise():
     cfg_c = granular.GranularConfig(**base, civ=True)
     state = granular.init_state(cfg_w, jax.random.PRNGKey(7))
     dt = jnp.float32(1 / 240)
-    out_w = granular.multi_step(state, cfg_w, dt, 10, backend="pallas")
-    out_c, drop_c = granular.multi_step(state, cfg_c, dt, 10,
+    out_w = granular.multi_step(state, cfg_w, dt, 6, backend="pallas")
+    out_c, drop_c = granular.multi_step(state, cfg_c, dt, 6,
                                         return_stats=True, backend="pallas")
     assert int(drop_c) == 0
     np.testing.assert_array_equal(np.asarray(out_c.pos),
@@ -125,7 +125,7 @@ def test_civ_kernel_matches_windows_bitwise():
     np.testing.assert_array_equal(np.asarray(out_c.vel),
                                   np.asarray(out_w.vel))
     # fast-mode (no stats) must produce the same physics
-    out_f = granular.multi_step(state, cfg_c, dt, 10, backend="pallas")
+    out_f = granular.multi_step(state, cfg_c, dt, 6, backend="pallas")
     np.testing.assert_array_equal(np.asarray(out_f.pos),
                                   np.asarray(out_c.pos))
 
@@ -143,8 +143,8 @@ def test_mxu_kernel_matches_vpu():
     cfg_m = granular.GranularConfig(**base, mxu=True)
     state = granular.init_state(cfg_v, jax.random.PRNGKey(3))
     dt = jnp.float32(1 / 240)
-    out_v = granular.multi_step(state, cfg_v, dt, 10, backend="pallas")
-    out_m, drop_m = granular.multi_step(state, cfg_m, dt, 10,
+    out_v = granular.multi_step(state, cfg_v, dt, 6, backend="pallas")
+    out_m, drop_m = granular.multi_step(state, cfg_m, dt, 6,
                                         return_stats=True, backend="pallas")
     assert int(drop_m) == 0
     np.testing.assert_allclose(np.asarray(out_m.pos), np.asarray(out_v.pos),
@@ -154,7 +154,7 @@ def test_mxu_kernel_matches_vpu():
     # "sums" hybrid: bit-identical per-pair weights, MXU reductions only —
     # tighter envelope (pure reassociation noise)
     cfg_s = granular.GranularConfig(**base, mxu="sums")
-    out_s = granular.multi_step(state, cfg_s, dt, 10, backend="pallas")
+    out_s = granular.multi_step(state, cfg_s, dt, 6, backend="pallas")
     np.testing.assert_allclose(np.asarray(out_s.pos), np.asarray(out_v.pos),
                                atol=1e-5, rtol=0)
 
@@ -171,8 +171,8 @@ def test_thin_civ_matches_full():
     cfg_t = granular.GranularConfig(**base, pallas_slab=768, thin=True)
     state = granular.init_state(cfg_f, jax.random.PRNGKey(5))
     dt = jnp.float32(1 / 240)
-    out_f = granular.multi_step(state, cfg_f, dt, 10, backend="pallas")
-    out_t, drop_t = granular.multi_step(state, cfg_t, dt, 10,
+    out_f = granular.multi_step(state, cfg_f, dt, 6, backend="pallas")
+    out_t, drop_t = granular.multi_step(state, cfg_t, dt, 6,
                                         return_stats=True, backend="pallas")
     assert int(drop_t) == 0
     np.testing.assert_allclose(np.asarray(out_t.pos), np.asarray(out_f.pos),
@@ -194,8 +194,8 @@ def test_pipelined_kernel_matches_unpipelined():
     cfg_u = granular.GranularConfig(**base, pipeline=False)
     state = granular.init_state(cfg_p, jax.random.PRNGKey(3))
     dt = jnp.float32(1 / 240)
-    out_p = granular.multi_step(state, cfg_p, dt, 10, backend="pallas")
-    out_u = granular.multi_step(state, cfg_u, dt, 10, backend="pallas")
+    out_p = granular.multi_step(state, cfg_p, dt, 6, backend="pallas")
+    out_u = granular.multi_step(state, cfg_u, dt, 6, backend="pallas")
     np.testing.assert_array_equal(np.asarray(out_p.pos),
                                   np.asarray(out_u.pos))
     np.testing.assert_array_equal(np.asarray(out_p.vel),

@@ -259,7 +259,7 @@ def _img_close(a, b, frac=0.005, tol=1e-3):
 def test_mesh_tiled_matches_brute_sphere():
     """The tiled resolver reproduces the brute-force render of a dense
     sphere mesh (small tris exercise the binned path)."""
-    mesh = R.DeviceMesh.from_host(R.geometry.generate_uv_sphere(10.0, 48, 64))
+    mesh = R.DeviceMesh.from_host(R.geometry.generate_uv_sphere(10.0, 32, 48))
     c = cam(radius=30.0)
     fb0 = R.clear(96, 96)
     ref = R.draw_mesh(fb0, c, mesh, texture=T.checkerboard(), mode="phong",
@@ -314,7 +314,7 @@ def test_mesh_tiled_mixed_small_and_big():
 def test_mesh_tiled_window_overflow_reported():
     """An absurdly small window loses geometry but REPORTS it (stats) —
     no silent truncation."""
-    mesh = R.DeviceMesh.from_host(R.geometry.generate_uv_sphere(10.0, 48, 64))
+    mesh = R.DeviceMesh.from_host(R.geometry.generate_uv_sphere(10.0, 32, 48))
     c = cam(radius=30.0)
     fb0 = R.clear(64, 64)
     _, dropped = R.draw_mesh(fb0, c, mesh, mode="texture",
