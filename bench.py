@@ -177,9 +177,16 @@ _CHILDREN = {
 def _run_child(name: str) -> dict:
     env = dict(os.environ)
     env[_CHILD_ENV] = name
-    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       env=env, capture_output=True, text=True,
-                       timeout=1800)
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=1800)
+    except subprocess.TimeoutExpired:
+        # a downed TPU worker hangs children on the first device op; the
+        # bench must still emit its JSON line (with whatever completed)
+        print(f"# {name} child timed out (TPU worker down?)",
+              file=sys.stderr)
+        return {}
     sys.stderr.write(r.stderr)
     if r.returncode != 0:
         print(f"# {name} child failed (rc={r.returncode})", file=sys.stderr)
