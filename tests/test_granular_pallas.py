@@ -245,7 +245,7 @@ def test_pallas_settles_in_box():
                                   restitution=0.3, pallas_block=128,
                                   pallas_slab=512)
     state = granular.init_state(cfg, jax.random.key(0))
-    out = granular.multi_step(state, cfg, jnp.float32(1 / 240), 300,
+    out = granular.multi_step(state, cfg, jnp.float32(1 / 240), 200,
                               backend="pallas")
     p = np.asarray(out.pos)
     assert np.isfinite(p).all()
