@@ -1,0 +1,20 @@
+#!/bin/bash
+# Run the round-3 TPU probes SEQUENTIALLY (never two TPU processes at
+# once — see CLAUDE.md). Usage:
+#   nohup bash tools/probes/run_all.sh > /tmp/probes.log 2>&1 &
+# then poll /tmp/probe_*.log.
+set -u
+cd "$(dirname "$0")/../.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+
+run() {
+  name=$1
+  echo "=== $name start $(date)"
+  python "tools/probes/$name.py" > "/tmp/probe_$name.log" 2>&1
+  echo "=== $name rc=$? end $(date)"
+}
+
+run probe_mxu
+run probe_fid32
+run probe_dg3
+echo "ALL PROBES DONE $(date)"
