@@ -231,6 +231,32 @@ def test_cloth_self_collision_repels():
     assert d.min() > 10 * d2.min()
 
 
+def test_self_collide_block_slab_invariance():
+    """pallas_block / pallas_slab are pure tiling choices: the frozen
+    path's physics must not depend on them. Candidate sets are identical
+    (slabs are supersets pruned by the same CIV + distance tests) and
+    per-particle window order is block-independent, so results agree to
+    at most A/B-pass reassociation (different blockings split a window
+    across the two slab passes at different points). b512 > n exercises
+    the single-padded-block edge the bench's b512 probe config relies on."""
+    c = cfg.ClothConfig(height=16, width=16, cloth_size=2.0,
+                        center=(0.0, 40.0, 0.0), particle_radius=0.12)
+    params = ClothParams.from_config(c)
+    state = cloth.multi_step(init_cloth_state(c), params,
+                             jnp.float32(1 / 480), 40)
+    grid = cloth.default_self_collision_grid(c, skin=2 * c.particle_radius)
+    dt = jnp.float32(1 / 480)
+    ref = cloth.multi_step_self_collide(state, params, dt, 6, grid,
+                                        rebuild_every=3)
+    for blk, slab in ((128, 384), (512, 1280)):
+        out, dropped = cloth.multi_step_self_collide(
+            state, params, dt, 6, grid, rebuild_every=3,
+            pallas_block=blk, pallas_slab=slab, return_stats=True)
+        assert int(dropped) == 0, (blk, slab)
+        np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                                   atol=1e-6, rtol=0, err_msg=f"{blk}/{slab}")
+
+
 def test_self_collide_frozen_matches_exact():
     """rebuild_every=K (frozen windows + slab-DMA kernel) matches the
     exact per-substep path: with a skin-sized grid the candidate sets are
