@@ -8,13 +8,15 @@ cd "$(dirname "$0")/../.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 
 run() {
-  name=$1
-  echo "=== $name start $(date)"
-  python "tools/probes/$name.py" > "/tmp/probe_$name.log" 2>&1
+  name=$1; log=$2; shift 2
+  echo "=== $name $* start $(date)"
+  python "tools/probes/$name.py" "$@" > "/tmp/probe_$log.log" 2>&1
   echo "=== $name rc=$? end $(date)"
 }
 
-run probe_mxu
-run probe_fid32
-run probe_dg3
+run probe_mxu probe_mxu
+run probe_sc_phase sc_phase_b256 256 640
+run probe_sc_phase sc_phase_b512 512 1280
+run probe_fid32 probe_fid32
+run probe_dg3 probe_dg3
 echo "ALL PROBES DONE $(date)"
