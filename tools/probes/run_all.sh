@@ -14,7 +14,12 @@ run() {
   echo "=== $name rc=$? end $(date)"
 }
 
-run probe_mxu probe_mxu
+# probe_mxu sections in SEPARATE processes: compiling many very large
+# programs with big ones resident is the known worker-crash pattern
+run probe_mxu mxu_g g
+run probe_mxu mxu_g2 g2
+run probe_mxu mxu_sc sc
+run probe_mxu mxu_micro micro
 run probe_sc_phase sc_phase_b256 256 640
 run probe_sc_phase sc_phase_b512 512 1280
 run probe_fid32 probe_fid32
