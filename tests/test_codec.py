@@ -256,3 +256,54 @@ def test_datagen_world_chunk_remainder():
     _, imgs, batches = frames[0]
     assert imgs.shape[0] == 5
     assert [b.state.pos.shape[0] for b in batches] == [3, 2]
+
+
+def test_cli_decode_raw_dir_skips_cleanly(tmp_path):
+    """A datagen run WITHOUT --codec-k writes raw uint8 shards and no
+    sidecar; decode must skip them with rc 0 (nothing to decode), not
+    demand --force-quality for a quality that would never be used."""
+    import os
+    import subprocess
+    import sys
+
+    indir = tmp_path / "raw"
+    indir.mkdir()
+    np.save(indir / "frame_00000.npy",
+            np.zeros((2, 8, 8, 3), np.uint8))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "wgpu_physics_engine_tpu", "decode",
+         "--indir", str(indir), "--outdir", str(tmp_path / "out")],
+        env=env, cwd=root, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "skip" in r.stdout
+
+
+def test_cli_decode_version_mismatch_clean_error(tmp_path):
+    """A future codec_version in the sidecar must produce the clean
+    one-line refusal (rc 1), not an uncaught traceback."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    indir = tmp_path / "enc"
+    indir.mkdir()
+    np.save(indir / "frame_00000.npy",
+            np.zeros((2, 1, 1, 3, 4), np.int8))
+    (indir / "codec_meta.json").write_text(json.dumps(
+        {"codec_version": 999, "k": 4, "quality": 1.0}))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "wgpu_physics_engine_tpu", "decode",
+         "--indir", str(indir), "--outdir", str(tmp_path / "out")],
+        env=env, cwd=root, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 1, (r.stdout, r.stderr[-2000:])
+    assert "codec_version" in r.stdout
+    assert "Traceback" not in r.stderr

@@ -349,3 +349,105 @@ def test_tiny_n_with_slab_larger_than_block():
     out = granular.multi_step(st, cfg, jnp.float32(1 / 240), 3,
                               backend="pallas")
     assert np.isfinite(np.asarray(out.pos)).all()
+
+
+def test_civ_fast_drop_indicator_iff_exact():
+    """CIV fast-mode (stats=False) dropped indicator contract: nonzero
+    IFF the exact per-particle count (stats=True) is nonzero, and a lower
+    bound of it. Regression: the gap count once included cid-HOLE slots
+    (slots of the hull belonging to no particle's window), firing with
+    zero real drops and sending users chasing phantom slab sizing."""
+    from wgpu_physics_engine_tpu.models import broadphase
+    from wgpu_physics_engine_tpu.ops import granular_pallas
+
+    spec = broadphase.GridSpec(origin=(-2.0,) * 3, cell_size=0.25,
+                               dims=(16, 16, 16))
+    block = 128
+    hits = 0
+    for seed in range(8):
+        k = jax.random.PRNGKey(seed)
+        # clustered positions -> uneven columns -> blocks straddle
+        # boundaries (need_b fires) with non-dense cid sets (holes)
+        pos = jnp.concatenate([
+            jax.random.uniform(jax.random.fold_in(k, i), (3, 500),
+                               minval=-1.9, maxval=-1.9 + 0.9 * (i + 1))
+            for i in range(3)], axis=1)
+        grid = broadphase.build_sorted_grid(pos, jnp.zeros_like(pos), spec)
+        n = pos.shape[1]
+        for slab, thin in ((128, False), (256, False), (128, True),
+                           (384, True)):
+            n_pad = -(-max(n, slab) // block) * block
+            _, _, fast = granular_pallas.build_offsets_civ(
+                grid, spec, block, slab, n_pad, thin=thin, stats=False)
+            _, _, exact = granular_pallas.build_offsets_civ(
+                grid, spec, block, slab, n_pad, thin=thin, stats=True)
+            fast, exact = int(fast), int(exact)
+            assert (fast > 0) == (exact > 0), (seed, slab, thin, fast,
+                                               exact)
+            assert fast <= exact, (seed, slab, thin, fast, exact)
+            hits += fast > 0
+    assert hits > 0          # the sweep must actually exercise drops
+
+
+def test_small_grid_falls_back_to_windows():
+    """dims < 3 grids (tiny bounds / big radius) must run on the window
+    path instead of tripping civ_bounds' dims>=3 assert (regression:
+    civ=True default made this a trace-time crash)."""
+    cfg = granular.GranularConfig(num_particles=64, bounds=0.5, radius=0.3,
+                                  pallas_block=128, pallas_slab=128)
+    assert min(cfg.grid_spec().dims) < 3
+    st = granular.init_state(cfg, jax.random.PRNGKey(1))
+    out = granular.multi_step(st, cfg, jnp.float32(1 / 240), 2,
+                              backend="pallas")
+    assert np.isfinite(np.asarray(out.pos)).all()
+
+
+def test_thin_and_mxu_require_civ():
+    """thin/mxu outside the CIV kernel phase would be silently ignored
+    (wrong slab sizing, wrong perf) — they must refuse loudly."""
+    import pytest
+
+    st = granular.init_state(
+        granular.GranularConfig(num_particles=64), jax.random.PRNGKey(0))
+    for bad in (dict(thin=True, civ=False), dict(mxu=True, civ=False),
+                dict(thin=True, merge=True, pallas_slab=512),
+                dict(mxu=True, bounds=0.5, radius=0.3)):
+        cfg = granular.GranularConfig(num_particles=64, **{
+            "pallas_block": 128, "pallas_slab": 128, **bad})
+        with pytest.raises(ValueError, match="requires civ"):
+            granular.multi_step(st, cfg, jnp.float32(1 / 240), 2,
+                                backend="pallas")
+
+
+def test_civ_fast_indicator_no_phantom_drops():
+    """Deterministic phantom-drop regression: a straddling block whose
+    cstar (largest cid with window start below slab B) has an EMPTY
+    window anchored inside the A-B gap. Every real window is covered
+    (exact count 0); the pre-fix gap formula counted [offa+slab, anchor)
+    — slots belonging to no window — and reported 128 dropped."""
+    from wgpu_physics_engine_tpu.models import broadphase
+    from wgpu_physics_engine_tpu.ops import granular_pallas
+
+    spec = broadphase.GridSpec(origin=(0.0,) * 3, cell_size=1.0,
+                               dims=(16, 16, 16))
+    # cell populations are 128-aligned so each real window sits exactly
+    # in one slab; block 0 holds cids {100, 110, 130} whose (dx=1,dy=1)
+    # windows are [371-373] (populated), [381-383] (EMPTY — the phantom
+    # anchor cs[381]=384 lands in the gap (256, 512)), [401-403]
+    # (populated, covered by slab B)
+    cids = sorted([100] * 60 + [110] * 8 + [130] * 60
+                  + [371] * 128 + [375] * 128 + [384] * 128 + [401] * 128)
+    cids = np.asarray(cids)
+    cx, rem = cids // 256, cids % 256
+    pos = jnp.asarray(
+        np.stack([cx, rem // 16, rem % 16]).astype(np.float32) + 0.5)
+    grid = broadphase.build_sorted_grid(pos, jnp.zeros_like(pos), spec)
+    n = pos.shape[1]
+    block = slab = 128
+    n_pad = -(-max(n, slab) // block) * block
+    _, _, fast = granular_pallas.build_offsets_civ(
+        grid, spec, block, slab, n_pad, stats=False)
+    _, _, exact = granular_pallas.build_offsets_civ(
+        grid, spec, block, slab, n_pad, stats=True)
+    assert int(exact) == 0
+    assert int(fast) == 0

@@ -355,3 +355,21 @@ def test_sphere_raster_tiled_matches_untiled():
         m = np.asarray(i0) >= 0
         np.testing.assert_array_equal(np.asarray(t0)[m], np.asarray(t1)[m])
     assert (np.asarray(i0) >= 0).sum() > 100        # scene actually hits
+
+
+def test_binned_kernel_refuses_oversized_instance_table():
+    """sphere_raster_tiled_binned must reject instance tables beyond the
+    SMEM budget even when handed prebuilt bins (datagen's
+    batch_binned=True path) — the silent-overflow corruption class."""
+    import pytest
+
+    from wgpu_physics_engine_tpu.ops import raster_pallas
+
+    n = raster_pallas.MAX_INSTANCES + 1
+    wins = jnp.zeros((8, 8), jnp.int32)
+    ocb = jnp.zeros((4, n), jnp.float32)
+    order = jnp.zeros((n,), jnp.int32)
+    dirs = jnp.zeros((3, 16, 128), jnp.float32)
+    with pytest.raises(AssertionError, match="SMEM budget"):
+        raster_pallas.sphere_raster_tiled_binned(wins, ocb, order, dirs,
+                                                 0.1)

@@ -77,12 +77,25 @@ def main(argv=None) -> int:
         if not paths:
             print(f"no frame_*.npy shards in {args.indir}")
             return 1
+        # header-only peek (mmap loads no data): raw-uint8 runs (datagen
+        # without --codec-k) have nothing to decode and need no sidecar
+        def _is_codec(p):
+            a = np.load(p, mmap_mode="r")
+            return a.dtype == np.int8 and a.ndim == 5
+        if not any(_is_codec(p) for p in paths):
+            for path in paths:
+                print(f"skip {path}: not a codec shard")
+            print("decode: 0 world-frames (no codec shards)")
+            return 0
         # quality comes from the run's sidecar — a wrong value silently
         # rescales every decoded pixel, so refuse to guess
         try:
             meta = codec.read_meta(args.indir)
         except FileNotFoundError:
             meta = None
+        except ValueError as e:
+            print(f"{args.indir}: {e}")
+            return 1
         if meta is None:
             if not args.force_quality:
                 print(f"{args.indir}: no codec_meta.json sidecar; pass "

@@ -246,10 +246,25 @@ def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
     n_pad = -(-max(n, slab) // block) * block
     views = None
     civ = None
+    # CIV needs dims >= 3 on every axis (border-wrap safety in
+    # civ_bounds); tiny grids fall back to the window formulation, which
+    # handles them — instead of tripping civ_bounds' assert at trace time
+    civ_ok = (config.civ and not config.merge and not config.sub_block
+              and min(spec.dims) >= 3)
+    # thin and mxu live only in the CIV kernel phase — anywhere else they
+    # would be silently ignored (wrong slab sizing, wrong perf, no error)
+    if config.thin and not civ_ok:
+        raise ValueError(
+            "thin=True requires civ=True without merge/sub_block and a "
+            f"grid with dims >= 3 on every axis (got {spec.dims})")
+    if config.mxu and not civ_ok:
+        raise ValueError(
+            "mxu requires civ=True without merge/sub_block and a grid "
+            f"with dims >= 3 on every axis (got {spec.dims})")
     if config.sub_block:
         windows, slab_start, views, dropped = granular_pallas.build_windows(
             grid, spec, block, slab, n_pad, sub_block=config.sub_block)
-    elif config.civ and not config.merge:
+    elif civ_ok:
         civ = granular_pallas.civ_bounds(spec, thin=config.thin)
         cidf, slab_start, dropped = granular_pallas.build_offsets_civ(
             grid, spec, block, slab, n_pad, thin=config.thin, stats=stats)

@@ -362,8 +362,19 @@ def build_offsets_civ(grid: broadphase.SortedGrid,
             t = qb - lo
             cstar = jnp.max(jnp.where(cblk <= t[:, None], cblk, -1), axis=1)
             e_star = cs[jnp.clip(cstar + hi + 1, 0, ncells)]
+            s_star = cs[jnp.clip(cstar + lo, 0, ncells)]
+            # count only slots inside cstar's OWN contiguous window
+            # [s_star, e_star): slots between offa+slab and s_star can be
+            # cid HOLES belonging to no window (block cid sets are not
+            # dense), and counting them made the indicator fire with zero
+            # real drops. cstar has the LARGEST window end among
+            # gap-reaching windows (end is monotone in cid), so any real
+            # gap entry of any particle implies e_star > offa+slab and
+            # this count is nonzero — nonzero iff real, still a lower
+            # bound of the exact entry count.
             cnt = jnp.maximum(
-                jnp.minimum(e_star, ob) - (offa[:, g] + slab), 0)
+                jnp.minimum(e_star, ob)
+                - jnp.maximum(s_star, offa[:, g] + slab), 0)
             gaps.append(jnp.where(need_b[:, g] & (cstar >= 0), cnt, 0))
         dropped = (jnp.sum(beyond, dtype=jnp.float32)
                    + jnp.sum(jnp.stack(gaps), dtype=jnp.float32))

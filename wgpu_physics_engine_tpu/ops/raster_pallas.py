@@ -211,6 +211,11 @@ def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
     """Kernel half of :func:`sphere_raster_tiled`: consume prebuilt bins
     (from :func:`tiled_prologue`, possibly computed batched across worlds)
     and return ``(tmin, inst)`` in original instance ids."""
+    # same SMEM budget as every sphere kernel entry: the [4, N] ocb table
+    # lives in SMEM, and a caller handing in prebuilt bins (datagen's
+    # batch_binned=True) must not bypass the loud guard
+    assert order.shape[0] <= MAX_INSTANCES, \
+        f"{order.shape[0]} instances exceed SMEM budget"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = dirs.shape[-2:]
