@@ -200,6 +200,33 @@ def test_datagen_batched_prologue_matches_per_world():
     assert diff.max() <= 1         # fp-order-only differences round to ±1
 
 
+def test_datagen_cached_globe_matches_fresh():
+    """base_fb (the static globe+background render cached across frames)
+    composites bit-identically to rendering the globe per frame, in every
+    operand combination of the packed lax.map dispatch (with/without the
+    batched binning prologue)."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.parallel import datagen
+    from wgpu_physics_engine_tpu.render import texture as T
+
+    c = cfg.ClothConfig(height=8, width=8)
+    batch = datagen.randomized_worlds(c, 3, jax.random.key(3))
+    cams = datagen.randomized_cameras(3, jax.random.key(4))
+    tex = T.checkerboard(size=32)
+    dt = jnp.float32(1 / 480)
+    base = datagen.globe_base_fbs(cams, batch.params, tex,
+                                  fb_size=(16, 128))
+    for binned in (False, True):
+        _, fresh = datagen.step_and_render(
+            batch, dt, 2, cams, tex, fb_size=(16, 128), use_pallas=False,
+            batch_binned=binned)
+        _, cached = datagen.step_and_render(
+            batch, dt, 2, cams, tex, fb_size=(16, 128), use_pallas=False,
+            batch_binned=binned, base_fb=base)
+        np.testing.assert_array_equal(np.asarray(cached),
+                                      np.asarray(fresh))
+
+
 def test_texture_get_max_size_mips():
     """max_size box-downsamples committed assets (datagen's cache-size
     lever) and leaves the full-resolution load untouched."""

@@ -197,21 +197,19 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
     # (b) materialize [worlds, pixels, chunk] intermediates in the XLA path
     # (64 GB at 512 worlds x 256^2). One world renders in ~1.4 ms on chip,
     # so sequential costs little.
-    if binned is not None and base_fb is not None:
-        images = jax.lax.map(rend,
-                             (new_state, batch.params, cams, binned, base_fb))
-    elif binned is not None:
-        images = jax.lax.map(
-            lambda a: rend((a[0], a[1], a[2], a[3], None)),
-            (new_state, batch.params, cams, binned))
-    elif base_fb is not None:
-        images = jax.lax.map(
-            lambda a: rend((a[0], a[1], a[2], None, a[3])),
-            (new_state, batch.params, cams, base_fb))
-    else:
-        images = jax.lax.map(
-            lambda a: rend((a[0], a[1], a[2], None, None)),
-            (new_state, batch.params, cams))
+    # lax.map can't carry None leaves: append whichever optional operands
+    # exist and re-slot them (statically) inside the mapped fn
+    has_bn, has_base = binned is not None, base_fb is not None
+    extras = ([binned] if has_bn else []) + ([base_fb] if has_base else [])
+
+    def rend_packed(a):
+        state, params, cam, *extra = a
+        bn = extra[0] if has_bn else None
+        base = extra[-1] if has_base else None
+        return rend((state, params, cam, bn, base))
+
+    images = jax.lax.map(rend_packed,
+                         (new_state, batch.params, cams, *extras))
     return WorldBatch(state=new_state, params=batch.params), images
 
 

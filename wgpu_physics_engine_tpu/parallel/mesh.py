@@ -242,44 +242,30 @@ def batched_spatial_multi_step(state: ClothState, params: ClothParams,
     spec = P(worlds_axis, None, rows_axis, None)
     spec_mask = P(worlds_axis, rows_axis, None)
 
-    def one_world(args):
-        pos, vel, pinm, pinp = args
-        return _spatial_substep_local(pos, vel, pinm, pinp, params, dt,
-                                      rows_axis, substeps=k,
-                                      use_kernel=use_kernel)
+    # one body parameterized over the (static) pin presence: the mapped
+    # tuple carries pins only when they exist, so the pinned and unpinned
+    # variants can't drift apart (they once duplicated the scan/map loop)
+    def body(pos, vel, *pins):
+        def one_world(args):
+            pos, vel, *pw = args
+            pinm, pinp = pw if has_pins else (None, None)
+            return _spatial_substep_local(pos, vel, pinm, pinp, params, dt,
+                                          rows_axis, substeps=k,
+                                          use_kernel=use_kernel)
 
-    def body(pos, vel, pinm, pinp):
         def one(carry, _):
             p, v = carry
-            p, v = jax.lax.map(one_world, (p, v, pinm, pinp))
+            p, v = jax.lax.map(one_world, (p, v, *pins))
             return (p, v), None
 
         (p, v), _ = jax.lax.scan(one, (pos, vel), None, length=n_steps // k)
         return p, v
 
-    if has_pins:
-        f = shard_map(body, mesh=mesh,
-                      in_specs=(spec, spec, spec_mask, spec),
-                      out_specs=(spec, spec), check_vma=False)
-        new_pos, new_vel = jax.jit(f)(state.pos, state.vel,
-                                      state.pin_mask, state.pin_pos)
-    else:
-        def body_nopin(pos, vel):
-            def one(carry, _):
-                p, v = carry
-                p, v = jax.lax.map(
-                    lambda a: _spatial_substep_local(
-                        a[0], a[1], None, None, params, dt, rows_axis,
-                        substeps=k, use_kernel=use_kernel), (p, v))
-                return (p, v), None
-
-            (p, v), _ = jax.lax.scan(one, (pos, vel), None,
-                                     length=n_steps // k)
-            return p, v
-
-        f = shard_map(body_nopin, mesh=mesh, in_specs=(spec, spec),
-                      out_specs=(spec, spec), check_vma=False)
-        new_pos, new_vel = jax.jit(f)(state.pos, state.vel)
+    pin_args = (state.pin_mask, state.pin_pos) if has_pins else ()
+    pin_specs = (spec_mask, spec) if has_pins else ()
+    f = shard_map(body, mesh=mesh, in_specs=(spec, spec, *pin_specs),
+                  out_specs=(spec, spec), check_vma=False)
+    new_pos, new_vel = jax.jit(f)(state.pos, state.vel, *pin_args)
     return state._replace(pos=new_pos, vel=new_vel)
 
 
