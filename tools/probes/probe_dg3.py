@@ -1,4 +1,12 @@
-"""Datagen phase profile: physics / render(flat,tex,packed,cached) / codec."""
+"""Datagen phase profile: physics / render(flat,tex,packed,cached) / codec.
+
+NOTE the workload: BASELINE configs[4] datagen is the DEFAULT 60x60
+cloth (3,600 instances — binned sphere kernel active) rendered to 256^2
+framebuffers; the 3.9 ms/world round-2 record is at this scale. A
+256^2-particle cloth here would silently disable the binned raster
+(n > MAX_INSTANCES) and measure an 18x heavier non-baseline config —
+that's what inflated the late-round-3 readings (11.19 textured /
+5.87 flat), on top of tunnel degradation."""
 import time
 import jax, jax.numpy as jnp
 import numpy as np
@@ -9,7 +17,7 @@ from wgpu_physics_engine_tpu.render import texture as T
 from wgpu_physics_engine_tpu import render as R
 
 NW = 512
-c = cfg.ClothConfig(height=256, width=256)
+c = cfg.ClothConfig()          # 60x60 — the BASELINE datagen scene
 key = jax.random.key(0)
 batch = datagen.randomized_worlds(c, NW, key)
 cams = datagen.randomized_cameras(NW, jax.random.fold_in(key, 7))
