@@ -170,6 +170,16 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
         batch_binned = (jax.default_backend() == "tpu"
                         and fbh % 16 == 0 and fbw % 128 == 0
                         and n_inst <= _rp.MAX_INSTANCES)
+        if (jax.default_backend() == "tpu"
+                and n_inst > _rp.MAX_INSTANCES):
+            # a silent multi-x perf cliff otherwise (--grid 256 puts 65k
+            # instances past the kernel's SMEM table budget)
+            from ..utils.metrics import get_logger
+
+            get_logger().warning(
+                "datagen: %d instances/world exceed the sphere kernel's "
+                "SMEM budget (%d) — rendering via the chunked XLA path",
+                n_inst, _rp.MAX_INSTANCES)
     binned = None
     if batch_binned:
         from ..ops import raster_pallas as _rp
