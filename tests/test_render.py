@@ -357,19 +357,39 @@ def test_sphere_raster_tiled_matches_untiled():
     assert (np.asarray(i0) >= 0).sum() > 100        # scene actually hits
 
 
-def test_binned_kernel_refuses_oversized_instance_table():
-    """sphere_raster_tiled_binned must reject instance tables beyond the
-    SMEM budget even when handed prebuilt bins (datagen's
-    batch_binned=True path) — the silent-overflow corruption class."""
-    import pytest
-
+def test_binned_kernel_chunked_matches_unchunked(monkeypatch):
+    """Past MAX_INSTANCES the binned kernel switches to its chunked
+    instance-table grid ((tiles, chunks), per-chunk-intersected ranges,
+    VMEM-resident accumulation). Forcing a tiny chunk size here, the
+    chunked path must be BIT-identical to the single-chunk binned kernel
+    — candidates are visited in the same global sorted order, so even
+    exact-t ties resolve the same way — and agree with the untiled
+    reference on every winning instance id. (tmin vs the untiled kernel
+    is only compared to fp tolerance: under the suite's
+    matmul_precision=highest the two interpret-mode programs contract
+    b = dx·ocx + dy·ocy + dz·ocz differently at ~1e-4 relative — a
+    pre-existing cross-program artifact, not a chunking effect.)"""
     from wgpu_physics_engine_tpu.ops import raster_pallas
 
-    n = raster_pallas.MAX_INSTANCES + 1
-    wins = jnp.zeros((8, 8), jnp.int32)
-    ocb = jnp.zeros((4, n), jnp.float32)
-    order = jnp.zeros((n,), jnp.int32)
-    dirs = jnp.zeros((3, 16, 128), jnp.float32)
-    with pytest.raises(AssertionError, match="SMEM budget"):
-        raster_pallas.sphere_raster_tiled_binned(wins, ocb, order, dirs,
-                                                 0.1)
+    cam0 = R.make_camera(cfg.CameraConfig(), aspect=1.0)
+    h, w = 16, 128
+    rng = np.random.default_rng(11)
+    n = 200                                  # 4 chunks of 64 (one ragged)
+    centers = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    eye, dirs = R.pixel_rays(cam0, h, w)
+    ref_t, ref_i = raster_pallas.sphere_raster(eye, dirs, centers, 0.5,
+                                               cam0.znear, interpret=True)
+    wins, ocb, order = raster_pallas.tiled_prologue(
+        cam0.view[:3, :3], eye, centers, 0.5, cam0.znear,
+        jnp.tan(cam0.fovy_rad / 2.0), cam0.aspect, h, w)
+    un_t, un_i = raster_pallas.sphere_raster_tiled_binned(
+        wins, ocb, order, dirs, cam0.znear, interpret=True)
+    monkeypatch.setattr(raster_pallas, "MAX_INSTANCES", 64)
+    got_t, got_i = raster_pallas.sphere_raster_tiled_binned(
+        wins, ocb, order, dirs, cam0.znear, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(un_t))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(un_i))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    fin = np.isfinite(np.asarray(ref_t))
+    np.testing.assert_allclose(np.asarray(got_t)[fin],
+                               np.asarray(ref_t)[fin], rtol=1e-4)

@@ -131,6 +131,51 @@ def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
     inst_out[...] = inst
 
 
+def _tiled_kernel_chunked(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out,
+                          inst_out, *, th, tw, tx_tiles, chunk):
+    """Large-N variant of :func:`_tiled_kernel`: grid ``(tiles, chunks)``
+    with the instance table split into ``chunk``-column SMEM blocks (so
+    the per-step SMEM footprint stays inside the budget however large N
+    is) and the per-tile ranges pre-intersected with each chunk's span.
+    The chunk axis is INNERMOST, so each pixel tile's (tmin, inst) block
+    stays VMEM-resident across its consecutive chunk steps — the
+    canonical Pallas accumulation pattern. Bit-identical to the
+    single-chunk kernel: candidates are visited in the same global
+    sorted order, so even exact-t ties resolve the same way.
+    """
+    c = pl.program_id(1)
+    row = jax.lax.rem(pl.program_id(0), 8)
+    znear = scal_ref[0]
+    base = c * chunk
+
+    @pl.when(c == 0)
+    def _init():
+        tmin_out[...] = jnp.full((th, tw), jnp.inf, jnp.float32)
+        inst_out[...] = jnp.full((th, tw), -1, jnp.int32)
+
+    def body(k, carry):
+        tmin, inst = carry
+        ocx = oc_ref[0, k]
+        ocy = oc_ref[1, k]
+        ocz = oc_ref[2, k]
+        cc = oc_ref[3, k]
+        b = dirs_ref[0] * ocx + dirs_ref[1] * ocy + dirs_ref[2] * ocz
+        disc = b * b - cc
+        tt = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        better = (disc > 0.0) & (tt > znear) & (tt < tmin)
+        return jnp.where(better, tt, tmin), jnp.where(better, base + k,
+                                                      inst)
+
+    tmin = tmin_out[...]
+    inst = inst_out[...]
+    for g in range(4):                      # 3 row-ring ranges + global
+        start = wins_ref[0, row, 2 * g]
+        end = wins_ref[0, row, 2 * g + 1]
+        tmin, inst = jax.lax.fori_loop(start, end, body, (tmin, inst))
+    tmin_out[...] = tmin
+    inst_out[...] = inst
+
+
 def tiled_prologue(camera_rot: jnp.ndarray, eye: jnp.ndarray,
                    centers: jnp.ndarray, radius, znear, tan_half, aspect,
                    h: int, w: int, tile_h: int = 8
@@ -210,12 +255,13 @@ def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Kernel half of :func:`sphere_raster_tiled`: consume prebuilt bins
     (from :func:`tiled_prologue`, possibly computed batched across worlds)
-    and return ``(tmin, inst)`` in original instance ids."""
-    # same SMEM budget as every sphere kernel entry: the [4, N] ocb table
-    # lives in SMEM, and a caller handing in prebuilt bins (datagen's
-    # batch_binned=True) must not bypass the loud guard
-    assert order.shape[0] <= MAX_INSTANCES, \
-        f"{order.shape[0]} instances exceed SMEM budget"
+    and return ``(tmin, inst)`` in original instance ids.
+
+    Beyond ``MAX_INSTANCES`` the instance table no longer fits SMEM in
+    one piece; the kernel switches to a ``(tiles, chunks)`` grid whose
+    per-step SMEM block is one ``MAX_INSTANCES``-column slice, with each
+    tile's candidate ranges pre-intersected per chunk — bit-identical
+    results (same global candidate order), unbounded N."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = dirs.shape[-2:]
@@ -224,32 +270,68 @@ def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
     n_tiles = ty_t * tx_t
     n = order.shape[0]
     scal = jnp.asarray([znear], jnp.float32)
-    kernel = functools.partial(_tiled_kernel, th=th, tw=tw, tx_tiles=tx_t)
-    tmin, inst_sorted = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # znear
-            pl.BlockSpec((8, 8), lambda t: (t // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # oc table
-            pl.BlockSpec((3, th, tw),
-                         lambda t: (0, t // tx_t, jax.lax.rem(t, tx_t))),
-        ],
-        out_specs=(
-            pl.BlockSpec((th, tw),
-                         lambda t: (t // tx_t, jax.lax.rem(t, tx_t))),
-            pl.BlockSpec((th, tw),
-                         lambda t: (t // tx_t, jax.lax.rem(t, tx_t))),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.int32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(scal, wins, ocb, dirs)
+    out_specs = (
+        pl.BlockSpec((th, tw),
+                     lambda t, *c: (t // tx_t, jax.lax.rem(t, tx_t))),
+        pl.BlockSpec((th, tw),
+                     lambda t, *c: (t // tx_t, jax.lax.rem(t, tx_t))),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((h, w), jnp.float32),
+        jax.ShapeDtypeStruct((h, w), jnp.int32),
+    )
+    dirs_spec = pl.BlockSpec((3, th, tw),
+                             lambda t, *c: (0, t // tx_t,
+                                            jax.lax.rem(t, tx_t)))
+    if n <= MAX_INSTANCES:
+        kernel = functools.partial(_tiled_kernel, th=th, tw=tw,
+                                   tx_tiles=tx_t)
+        tmin, inst_sorted = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),         # znear
+                pl.BlockSpec((8, 8), lambda t: (t // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),         # oc table
+                dirs_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(scal, wins, ocb, dirs)
+    else:
+        ch = MAX_INSTANCES
+        n_chunks = -(-n // ch)
+        pad = n_chunks * ch - n
+        # pad columns miss every ray (cc = +inf) and sit past every range
+        ocb_p = jnp.pad(ocb, ((0, 0), (0, pad)),
+                        constant_values=jnp.inf)
+        # per-chunk ranges: intersect each absolute [start, end) with the
+        # chunk span and rebase (empty where disjoint)
+        lo = (jnp.arange(n_chunks, dtype=jnp.int32) * ch)[:, None, None]
+        wins_c = jnp.clip(wins[None], lo, lo + ch) - lo    # [C, T8, 8]
+        kernel = functools.partial(_tiled_kernel_chunked, th=th, tw=tw,
+                                   tx_tiles=tx_t, chunk=ch)
+        tmin, inst_sorted = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_chunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),         # znear
+                pl.BlockSpec((1, 8, 8), lambda t, c: (c, t // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((4, ch), lambda t, c: (0, c),
+                             memory_space=pltpu.SMEM),
+                dirs_spec,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(scal, wins_c, ocb_p, dirs)
     hit = inst_sorted >= 0
     inst = jnp.where(hit, order[jnp.clip(inst_sorted, 0, n - 1)], -1)
     return tmin, inst
@@ -287,11 +369,8 @@ def sphere_raster_tiled(camera_rot: jnp.ndarray, eye: jnp.ndarray,
     rays (pixel_rays convention: row 0 = NDC y=+1).
     """
     h, w = dirs.shape[-2:]
-    n = centers.shape[0]
-    # same SMEM budget as sphere_raster: the [4, N] instance table lives in
-    # SMEM; silently exceeding ~512 KB corrupts memory (the granular
-    # scalar-prefetch trap), so refuse loudly
-    assert n <= MAX_INSTANCES, f"{n} instances exceed SMEM budget"
+    # no instance cap: beyond MAX_INSTANCES the binned kernel runs its
+    # chunked-table grid (see sphere_raster_tiled_binned)
     wins, ocb, order = tiled_prologue(camera_rot, eye, centers, radius,
                                       znear, tan_half, aspect, h, w, tile_h)
     return sphere_raster_tiled_binned(wins, ocb, order, dirs, znear, tile_h,

@@ -163,23 +163,11 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
     # per-world lax.map in the same process (5.9 vs 5.5 ms/world), i.e.
     # the per-world map is compute-bound, not dispatch-bound. Not kept.)
     fbh, fbw = fb_size
-    n_inst = batch.state.pos.shape[-2] * batch.state.pos.shape[-1]
     if batch_binned is None:
-        from ..ops import raster_pallas as _rp
-
+        # any instance count: past MAX_INSTANCES the binned kernel runs
+        # its chunked-table grid (raster_pallas.sphere_raster_tiled_binned)
         batch_binned = (jax.default_backend() == "tpu"
-                        and fbh % 16 == 0 and fbw % 128 == 0
-                        and n_inst <= _rp.MAX_INSTANCES)
-        if (jax.default_backend() == "tpu"
-                and n_inst > _rp.MAX_INSTANCES):
-            # a silent multi-x perf cliff otherwise (--grid 256 puts 65k
-            # instances past the kernel's SMEM table budget)
-            from ..utils.metrics import get_logger
-
-            get_logger().warning(
-                "datagen: %d instances/world exceed the sphere kernel's "
-                "SMEM budget (%d) — rendering via the chunked XLA path",
-                n_inst, _rp.MAX_INSTANCES)
+                        and fbh % 16 == 0 and fbw % 128 == 0)
     binned = None
     if batch_binned:
         from ..ops import raster_pallas as _rp

@@ -142,8 +142,12 @@ def draw_instanced_spheres(
     if use_kernel is None:
         from ..ops import raster_pallas
 
+        # beyond MAX_INSTANCES only the tile-binned kernel (chunked
+        # instance table) can run — the untiled kernel's SMEM table is
+        # single-piece, so oddly-sized framebuffers fall back to XLA
         use_kernel = (jax.default_backend() == "tpu"
-                      and n <= raster_pallas.MAX_INSTANCES)
+                      and (n <= raster_pallas.MAX_INSTANCES
+                           or (h % 16 == 0 and w % 128 == 0)))
 
     if use_kernel or binned is not None:
         from ..ops import raster_pallas
