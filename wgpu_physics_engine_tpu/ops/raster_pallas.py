@@ -303,7 +303,11 @@ def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
             interpret=interpret,
         )(scal, wins, ocb, dirs)
     else:
-        ch = MAX_INSTANCES
+        # half the single-piece budget per block: Mosaic double-buffers
+        # blocked inputs across grid steps, so the in-flight SMEM
+        # footprint is ~2 blocks — 2 x 128 KB keeps it at the proven
+        # single-table budget
+        ch = MAX_INSTANCES // 2
         n_chunks = -(-n // ch)
         pad = n_chunks * ch - n
         # pad columns miss every ray (cc = +inf) and sit past every range
