@@ -65,4 +65,30 @@ timeit("s+r cached + codec k16", lambda: codec.encode(
 # render-only isolation: 0 substeps
 timeit("r only cached (0 substeps)", lambda: datagen.step_and_render(
     batch, dt, 0, cams, tex_pack, base_fb=base)[1])
+
+# ---- heavy non-baseline workload: 256^2-PARTICLE cloth (65k instances/
+# world) — exercises the round-3 chunked-instance-table kernel vs the
+# XLA chunk path it replaced as the >MAX_INSTANCES route
+NWH = 64
+ch = cfg.ClothConfig(height=256, width=256)
+hbatch = datagen.randomized_worlds(ch, NWH, jax.random.fold_in(key, 9))
+hcams = datagen.randomized_cameras(NWH, jax.random.fold_in(key, 10))
+
+
+def timeit_h(tag, fn):
+    np.asarray(jax.tree.leaves(fn())[0])[:1]
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        r = fn()
+        np.asarray(jax.tree.leaves(r)[0])[:1]
+        best = min(best, time.time() - t0)
+    print(f"{tag:38s} {best:7.3f}s = {best/NWH*1e3:6.2f} ms/world",
+          flush=True)
+
+
+timeit_h("heavy 65k-inst chunked kernel", lambda: datagen.step_and_render(
+    hbatch, dt, 0, hcams, solid, batch_binned=True)[1])
+timeit_h("heavy 65k-inst XLA path", lambda: datagen.step_and_render(
+    hbatch, dt, 0, hcams, solid, batch_binned=False)[1])
 print("done", flush=True)
