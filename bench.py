@@ -181,12 +181,15 @@ def _run_child(name: str) -> dict:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True,
                            timeout=1800)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         # a downed TPU worker hangs children on the first device op; the
         # bench must still emit its JSON line (with whatever completed)
+        if e.stderr:
+            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                             else e.stderr.decode(errors="replace"))
         print(f"# {name} child timed out (TPU worker down?)",
               file=sys.stderr)
-        return {}
+        return None
     sys.stderr.write(r.stderr)
     if r.returncode != 0:
         print(f"# {name} child failed (rc={r.returncode})", file=sys.stderr)
@@ -206,7 +209,16 @@ def main() -> None:
 
     results = {}
     for name in _CHILDREN:
-        results.update(_run_child(name))
+        r = _run_child(name)
+        if r is None:
+            # timeout killed the child mid-TPU-op — the worker is down
+            # or wedged, and every further child would hang 30 min and
+            # add another kill-mid-compile event against it (the
+            # documented worker-crash pattern). Report what we have.
+            print("# skipping remaining children after a timeout",
+                  file=sys.stderr)
+            break
+        results.update(r)
 
     # headline = the fidelity-contract (exact sqrt) kernel; if it ever
     # fails to compile, fall back to the XLA path — NEVER the fast_math

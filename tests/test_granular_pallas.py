@@ -382,10 +382,12 @@ def test_civ_fast_drop_indicator_iff_exact():
             _, _, exact = granular_pallas.build_offsets_civ(
                 grid, spec, block, slab, n_pad, thin=thin, stats=True)
             fast, exact = int(fast), int(exact)
-            assert (fast > 0) == (exact > 0), (seed, slab, thin, fast,
-                                               exact)
-            assert fast <= exact, (seed, slab, thin, fast, exact)
-            hits += fast > 0
+            # SOUND direction only: real drops must never be missed.
+            # (fast may over-report — empty-window anchors in the A-B
+            # gap — so neither fast<=exact nor the converse holds.)
+            assert exact == 0 or fast > 0, (seed, slab, thin, fast,
+                                            exact)
+            hits += exact > 0
     assert hits > 0          # the sweep must actually exercise drops
 
 
@@ -419,25 +421,15 @@ def test_thin_and_mxu_require_civ():
                                 backend="pallas")
 
 
-def test_civ_fast_indicator_no_phantom_drops():
-    """Deterministic phantom-drop regression: a straddling block whose
-    cstar (largest cid with window start below slab B) has an EMPTY
-    window anchored inside the A-B gap. Every real window is covered
-    (exact count 0); the pre-fix gap formula counted [offa+slab, anchor)
-    — slots belonging to no window — and reported 128 dropped."""
+def _civ_counts_for_cids(cids):
+    """Build a 16^3 grid from explicit cell ids and return the fast and
+    exact dropped counts at block=slab=128."""
     from wgpu_physics_engine_tpu.models import broadphase
     from wgpu_physics_engine_tpu.ops import granular_pallas
 
     spec = broadphase.GridSpec(origin=(0.0,) * 3, cell_size=1.0,
                                dims=(16, 16, 16))
-    # cell populations are 128-aligned so each real window sits exactly
-    # in one slab; block 0 holds cids {100, 110, 130} whose (dx=1,dy=1)
-    # windows are [371-373] (populated), [381-383] (EMPTY — the phantom
-    # anchor cs[381]=384 lands in the gap (256, 512)), [401-403]
-    # (populated, covered by slab B)
-    cids = sorted([100] * 60 + [110] * 8 + [130] * 60
-                  + [371] * 128 + [375] * 128 + [384] * 128 + [401] * 128)
-    cids = np.asarray(cids)
+    cids = np.asarray(sorted(cids))
     cx, rem = cids // 256, cids % 256
     pos = jnp.asarray(
         np.stack([cx, rem // 16, rem % 16]).astype(np.float32) + 0.5)
@@ -449,5 +441,32 @@ def test_civ_fast_indicator_no_phantom_drops():
         grid, spec, block, slab, n_pad, stats=False)
     _, _, exact = granular_pallas.build_offsets_civ(
         grid, spec, block, slab, n_pad, stats=True)
-    assert int(exact) == 0
-    assert int(fast) == 0
+    return int(fast), int(exact)
+
+
+def test_civ_fast_indicator_sound_on_masked_gap_drops():
+    """False-negative regression (round-3 review): block 0 holds cids
+    {90, 100, 130}; cid 90's (dx=1,dy=1) window [cells 361-363] spans the
+    A-B gap with real entries, while cstar=100's window [371-373] is
+    EMPTY with its anchor past them. A count clamped to cstar's own
+    window reported 0 here and silently masked the real contact loss —
+    the indicator must stay SOUND (fast > 0 whenever exact > 0)."""
+    fast, exact = _civ_counts_for_cids(
+        [90] * 60 + [100] * 8 + [130] * 60
+        + [361] * 128 + [362] * 128 + [375] * 128 + [401] * 128)
+    assert exact > 0
+    assert fast > 0
+
+
+def test_civ_fast_indicator_phantom_overreport_documented():
+    """Known limitation (documented in build_offsets_civ): an EMPTY
+    window anchored inside the A-B gap fires the fast indicator with
+    zero real drops — per-block aggregates cannot distinguish this from
+    the masked-drop case above, and a silent-loss indicator must not
+    false-negative, so fast mode over-reports here by design. stats=True
+    is the definitive count."""
+    fast, exact = _civ_counts_for_cids(
+        [100] * 60 + [110] * 8 + [130] * 60
+        + [371] * 128 + [375] * 128 + [384] * 128 + [401] * 128)
+    assert exact == 0
+    assert fast > 0          # the documented over-report

@@ -374,7 +374,7 @@ def test_binned_kernel_chunked_matches_unchunked(monkeypatch):
     cam0 = R.make_camera(cfg.CameraConfig(), aspect=1.0)
     h, w = 16, 128
     rng = np.random.default_rng(11)
-    n = 200                                  # 4 chunks of 64 (one ragged)
+    n = 200                # ch = 64//2 = 32 -> 7 chunks, last ragged (8)
     centers = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
     eye, dirs = R.pixel_rays(cam0, h, w)
     ref_t, ref_i = raster_pallas.sphere_raster(eye, dirs, centers, 0.5,

@@ -27,7 +27,7 @@ tex_pack = T.pack_rgb8(tex_f32)
 solid = T.solid((0.3, 0.5, 0.7))
 
 
-def timeit(tag, fn):
+def timeit(tag, fn, nw=NW):
     np.asarray(jax.tree.leaves(fn())[0])[:1]
     best = float("inf")
     for _ in range(3):
@@ -35,7 +35,7 @@ def timeit(tag, fn):
         r = fn()
         np.asarray(jax.tree.leaves(r)[0])[:1]
         best = min(best, time.time() - t0)
-    print(f"{tag:38s} {best:7.3f}s = {best/NW*1e3:6.2f} ms/world", flush=True)
+    print(f"{tag:38s} {best:7.3f}s = {best/nw*1e3:6.2f} ms/world", flush=True)
     return r
 
 
@@ -75,20 +75,14 @@ hbatch = datagen.randomized_worlds(ch, NWH, jax.random.fold_in(key, 9))
 hcams = datagen.randomized_cameras(NWH, jax.random.fold_in(key, 10))
 
 
-def timeit_h(tag, fn):
-    np.asarray(jax.tree.leaves(fn())[0])[:1]
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        r = fn()
-        np.asarray(jax.tree.leaves(r)[0])[:1]
-        best = min(best, time.time() - t0)
-    print(f"{tag:38s} {best:7.3f}s = {best/NWH*1e3:6.2f} ms/world",
-          flush=True)
-
-
-timeit_h("heavy 65k-inst chunked kernel", lambda: datagen.step_and_render(
-    hbatch, dt, 0, hcams, solid, batch_binned=True)[1])
-timeit_h("heavy 65k-inst XLA path", lambda: datagen.step_and_render(
-    hbatch, dt, 0, hcams, solid, batch_binned=False)[1])
+timeit("heavy 65k chunked krn batched-bins", lambda: datagen.step_and_render(
+    hbatch, dt, 0, hcams, solid, batch_binned=True)[1], nw=NWH)
+# per-world prologue + chunked kernel (use_kernel auto-True past the cap)
+timeit("heavy 65k chunked krn per-world", lambda: datagen.step_and_render(
+    hbatch, dt, 0, hcams, solid, batch_binned=False)[1], nw=NWH)
+# the TRUE XLA chunk-scan arm needs use_raster_kernel=False — plain
+# batch_binned=False now auto-routes to the chunked kernel
+timeit("heavy 65k XLA chunk-scan", lambda: datagen.step_and_render(
+    hbatch, dt, 0, hcams, solid, batch_binned=False,
+    use_raster_kernel=False)[1], nw=NWH)
 print("done", flush=True)

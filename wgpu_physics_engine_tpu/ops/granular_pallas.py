@@ -302,14 +302,17 @@ def build_offsets_civ(grid: broadphase.SortedGrid,
     candidate), so forces are identical and only border blocks scan a
     useless slab.
 
-    ``dropped`` fast mode (``stats=False``): nonzero iff real window
-    entries are uncovered — slots beyond B are counted exactly (the hull
-    end IS some particle's window end); entries inside the A–B gap are
-    detected via monotonicity (the last particle whose window starts
-    below B has the largest window end among those; if that end clears
-    A, its entries occupy the gap) and counted as a lower bound.
-    ``stats=True`` reproduces :func:`build_windows`-style exact entry
-    counts (pays the per-particle gathers — tests and sizing runs).
+    ``dropped`` fast mode (``stats=False``): a SOUND indicator — it is
+    nonzero whenever real window entries are uncovered (no false
+    negatives: any particle's gap entries force the block's max
+    window-end past slab A, which is what the count tests). It may
+    over-report: an EMPTY window whose anchor lands inside the A–B gap
+    fires the count with nothing real dropped (cid-hole slots), and
+    per-block aggregates cannot distinguish that from a smaller cid's
+    populated window really dropping entries. Treat nonzero as "confirm
+    with ``stats=True``", zero as definitive. ``stats=True`` reproduces
+    :func:`build_windows`-style exact entry counts (pays the
+    per-particle gathers — tests and sizing runs).
     """
     n = grid.sorted_cid.shape[0]
     bounds = civ_bounds(spec, thin)
@@ -362,19 +365,22 @@ def build_offsets_civ(grid: broadphase.SortedGrid,
             t = qb - lo
             cstar = jnp.max(jnp.where(cblk <= t[:, None], cblk, -1), axis=1)
             e_star = cs[jnp.clip(cstar + hi + 1, 0, ncells)]
-            s_star = cs[jnp.clip(cstar + lo, 0, ncells)]
-            # count only slots inside cstar's OWN contiguous window
-            # [s_star, e_star): slots between offa+slab and s_star can be
-            # cid HOLES belonging to no window (block cid sets are not
-            # dense), and counting them made the indicator fire with zero
-            # real drops. cstar has the LARGEST window end among
-            # gap-reaching windows (end is monotone in cid), so any real
-            # gap entry of any particle implies e_star > offa+slab and
-            # this count is nonzero — nonzero iff real, still a lower
-            # bound of the exact entry count.
+            # SOUND (no false negatives), occasionally over-reporting:
+            # real gap entries from ANY block particle imply
+            # e_star > offa+slab (window end is monotone in cid and cstar
+            # is the largest cid whose window starts below B), so this
+            # count is nonzero whenever entries are really dropped. The
+            # converse does not hold: when cstar's own window is EMPTY
+            # with its anchor inside the gap, the count can fire with
+            # nothing real dropped (cid-hole slots). Distinguishing that
+            # from the case where a SMALLER cid's populated window drops
+            # real entries (same block aggregates, different outcome)
+            # requires per-particle window gathers — exactly stats mode.
+            # A silent-loss indicator must not false-negative, so fast
+            # mode keeps the sound over-approximation; confirm real loss
+            # with return_stats=True.
             cnt = jnp.maximum(
-                jnp.minimum(e_star, ob)
-                - jnp.maximum(s_star, offa[:, g] + slab), 0)
+                jnp.minimum(e_star, ob) - (offa[:, g] + slab), 0)
             gaps.append(jnp.where(need_b[:, g] & (cstar >= 0), cnt, 0))
         dropped = (jnp.sum(beyond, dtype=jnp.float32)
                    + jnp.sum(jnp.stack(gaps), dtype=jnp.float32))

@@ -99,15 +99,11 @@ def sphere_raster(eye: jnp.ndarray, dirs: jnp.ndarray, centers: jnp.ndarray,
 # Tile-binned variant
 # ---------------------------------------------------------------------------
 
-def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
-                  *, th, tw, tx_tiles):
-    """Nearest hit for pixel tile ``t = program_id(0)`` over its binned
-    candidate ranges: 3 sorted-order row-ring ranges + the global range
-    (instances too close/large/behind to bin — exact fallback, no caps).
-    """
-    t = pl.program_id(0)
-    row = jax.lax.rem(t, 8)
-    znear = scal_ref[0]
+def _hit_sweep(oc_ref, dirs_ref, znear, base, start, end, tmin, inst):
+    """fori-sweep candidates [start, end) of ``oc_ref`` against one pixel
+    tile, recording nearest hit; ``base + k`` is the recorded instance id
+    (base > 0 in the chunked-table kernel). Shared by both tiled kernels
+    so the hit test cannot drift between the n<=MAX and chunked paths."""
 
     def body(k, carry):
         tmin, inst = carry
@@ -119,14 +115,29 @@ def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
         disc = b * b - cc
         tt = b - jnp.sqrt(jnp.maximum(disc, 0.0))
         better = (disc > 0.0) & (tt > znear) & (tt < tmin)
-        return jnp.where(better, tt, tmin), jnp.where(better, k, inst)
+        return jnp.where(better, tt, tmin), jnp.where(better, base + k,
+                                                      inst)
+
+    return jax.lax.fori_loop(start, end, body, (tmin, inst))
+
+
+def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
+                  *, th, tw, tx_tiles):
+    """Nearest hit for pixel tile ``t = program_id(0)`` over its binned
+    candidate ranges: 3 sorted-order row-ring ranges + the global range
+    (instances too close/large/behind to bin — exact fallback, no caps).
+    """
+    t = pl.program_id(0)
+    row = jax.lax.rem(t, 8)
+    znear = scal_ref[0]
 
     tmin = jnp.full((th, tw), jnp.inf, jnp.float32)
     inst = jnp.full((th, tw), -1, jnp.int32)
     for g in range(4):                      # 3 row-ring ranges + global
         start = wins_ref[row, 2 * g]
         end = wins_ref[row, 2 * g + 1]
-        tmin, inst = jax.lax.fori_loop(start, end, body, (tmin, inst))
+        tmin, inst = _hit_sweep(oc_ref, dirs_ref, znear, 0, start, end,
+                                tmin, inst)
     tmin_out[...] = tmin
     inst_out[...] = inst
 
@@ -153,25 +164,13 @@ def _tiled_kernel_chunked(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out,
         tmin_out[...] = jnp.full((th, tw), jnp.inf, jnp.float32)
         inst_out[...] = jnp.full((th, tw), -1, jnp.int32)
 
-    def body(k, carry):
-        tmin, inst = carry
-        ocx = oc_ref[0, k]
-        ocy = oc_ref[1, k]
-        ocz = oc_ref[2, k]
-        cc = oc_ref[3, k]
-        b = dirs_ref[0] * ocx + dirs_ref[1] * ocy + dirs_ref[2] * ocz
-        disc = b * b - cc
-        tt = b - jnp.sqrt(jnp.maximum(disc, 0.0))
-        better = (disc > 0.0) & (tt > znear) & (tt < tmin)
-        return jnp.where(better, tt, tmin), jnp.where(better, base + k,
-                                                      inst)
-
     tmin = tmin_out[...]
     inst = inst_out[...]
     for g in range(4):                      # 3 row-ring ranges + global
         start = wins_ref[0, row, 2 * g]
         end = wins_ref[0, row, 2 * g + 1]
-        tmin, inst = jax.lax.fori_loop(start, end, body, (tmin, inst))
+        tmin, inst = _hit_sweep(oc_ref, dirs_ref, znear, base, start, end,
+                                tmin, inst)
     tmin_out[...] = tmin
     inst_out[...] = inst
 

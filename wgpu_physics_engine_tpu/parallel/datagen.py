@@ -79,7 +79,8 @@ def randomized_cameras(n_worlds: int, key: jax.Array,
 def _render_world(pos: jnp.ndarray, camera: R.Camera, globe_radius,
                   particle_radius, globe_tex, light: cfg.LightConfig,
                   fb_size: Tuple[int, int], chunk: int,
-                  binned=None, base_fb=None) -> jnp.ndarray:
+                  binned=None, base_fb=None,
+                  use_raster_kernel=None) -> jnp.ndarray:
     h, w = fb_size
     if base_fb is None:
         fb = R.clear(h, w)
@@ -88,7 +89,8 @@ def _render_world(pos: jnp.ndarray, camera: R.Camera, globe_radius,
         fb = base_fb
     centers = pos.reshape(3, -1).T
     fb = R.draw_instanced_spheres(fb, camera, centers, particle_radius,
-                                  light, chunk=chunk, binned=binned)
+                                  light, chunk=chunk, binned=binned,
+                                  use_kernel=use_raster_kernel)
     return fb.color
 
 
@@ -117,7 +119,8 @@ def globe_base_fbs(cameras: R.Camera, params: ClothParams,
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "fb_size", "chunk",
                                              "use_pallas", "as_uint8",
-                                             "batch_binned"))
+                                             "batch_binned",
+                                             "use_raster_kernel"))
 def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
                     camera: R.Camera, globe_tex: jnp.ndarray,
                     light: cfg.LightConfig = cfg.LightConfig(),
@@ -126,7 +129,8 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
                     base_fb=None,
                     use_pallas: bool = True,
                     as_uint8: bool = True,
-                    batch_binned: Optional[bool] = None
+                    batch_binned: Optional[bool] = None,
+                    use_raster_kernel: Optional[bool] = None
                     ) -> Tuple[WorldBatch, jnp.ndarray]:
     """Advance every world ``n_steps`` substeps, then render each to a
     framebuffer. Returns (new batch, images [B, h, w, 3] — uint8 by default:
@@ -183,7 +187,8 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
         state, params, cam, bn, base = args
         img = _render_world(state.pos, cam, params.globe_radius,
                             params.particle_radius, globe_tex, light,
-                            fb_size, chunk, binned=bn, base_fb=base)
+                            fb_size, chunk, binned=bn, base_fb=base,
+                            use_raster_kernel=use_raster_kernel)
         if as_uint8:
             # cast per world so the map accumulates uint8, not fp32
             # (4096 worlds × 256² fp32 would be 3.2 GB of HBM)
