@@ -190,6 +190,10 @@ def main(argv=None) -> int:
         s = scenes.ClothScene(config=c, self_collide=args.self_collide)
 
     h, w = args.size
+    # App::resize before the first frame: sync the camera aspect to the
+    # output size (the reference's fixed 800x600 window matches its
+    # default aspect; arbitrary --size otherwise stretches the scene)
+    s.resize(w, h)
     if args.live:
         from .utils import viewer as V
 
