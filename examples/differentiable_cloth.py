@@ -6,7 +6,12 @@ recover the gravity that makes the cloth's center of mass hit a target
 height after one simulated second — a tiny inverse problem solved by
 gradient descent THROUGH 480 physics substeps.
 
-Run:  python examples/differentiable_cloth.py
+Run:  python examples/differentiable_cloth.py [--kernel]
+
+``--kernel`` routes the rollout through ``cloth.multi_step_diff`` — the
+forward AND backward passes then run as fused Pallas kernels
+(ops/cloth_pallas_grad.py), the fast path on TPU; the default uses the
+XLA stencil with per-substep rematerialization (fast enough on CPU).
 """
 
 import os
@@ -22,7 +27,7 @@ import wgpu_physics_engine_tpu as eng
 from wgpu_physics_engine_tpu.models import cloth
 
 
-def main():
+def main(use_kernel: bool = False):
     c = eng.ClothConfig(height=16, width=16)
     state0 = eng.init_cloth_state(c)        # flat sheet at y = 40
     base = eng.ClothParams.from_config(c)
@@ -32,11 +37,15 @@ def main():
 
     def rollout(gravity):
         params = base._replace(gravity=gravity)
-        # rematerialize each substep: 480-step rollout backprops in
-        # O(sqrt(T)) memory
-        step = jax.checkpoint(lambda s: cloth.substep(s, params, dt))
-        s, _ = jax.lax.scan(lambda s, _: (step(s), None), state0, None,
-                            length=480)
+        if use_kernel:
+            # fused-kernel forward + transpose-kernel backward
+            s = cloth.multi_step_diff(state0, params, dt, 480, segment=48)
+        else:
+            # rematerialize each substep: 480-step rollout backprops in
+            # O(sqrt(T)) memory
+            step = jax.checkpoint(lambda s: cloth.substep(s, params, dt))
+            s, _ = jax.lax.scan(lambda s, _: (step(s), None), state0, None,
+                                length=480)
         return jnp.mean(s.pos[1])
 
     def loss(gravity):
@@ -52,4 +61,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(use_kernel="--kernel" in sys.argv[1:])

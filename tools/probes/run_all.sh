@@ -24,4 +24,5 @@ run probe_sc_phase sc_phase_b256 256 640
 run probe_sc_phase sc_phase_b512 512 1280
 run probe_fid32 probe_fid32
 run probe_dg3 probe_dg3
+run probe_grad probe_grad
 echo "ALL PROBES DONE $(date)"

@@ -419,6 +419,36 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray, n_steps:
     return out
 
 
+def multi_step_diff(state: ClothState, params: ClothParams, dt: jnp.ndarray,
+                    n_steps: int, segment: Optional[int] = None,
+                    interpret: Optional[bool] = None) -> ClothState:
+    """Differentiable ``multi_step`` at fused-kernel speed.
+
+    ``jax.grad``/``jax.vjp`` flow through this (w.r.t. ``state.pos/vel/
+    pin_pos``, every ``ClothParams`` leaf, and ``dt``) while the forward
+    AND backward passes run as Pallas kernels — see
+    :mod:`wgpu_physics_engine_tpu.ops.cloth_pallas_grad` for the
+    segment-checkpointed custom_vjp design. Primal output is bit-identical
+    to :func:`ops.cloth_pallas.multi_step` (exact mode).
+
+    Grids beyond the fused kernel's VMEM budget fall back to the XLA
+    stencil path under ``jax.checkpoint`` segments (differentiable
+    everywhere, at XLA rates). A capability the reference cannot express
+    (its WGSL pipeline has no gradient story) — same surplus class as the
+    parallel/datagen layers, SURVEY §5.
+    """
+    from ..ops import cloth_pallas, cloth_pallas_grad
+
+    h, w = state.pos.shape[-2:]
+    if h * w > cloth_pallas._VMEM_PARTICLE_LIMIT:
+        seg_step = jax.checkpoint(lambda s: substep(s, params, dt))
+        out, _ = jax.lax.scan(lambda s, _: (seg_step(s), None), state, None,
+                              length=n_steps)
+        return out
+    return cloth_pallas_grad.multi_step(state, params, dt, n_steps,
+                                        segment=segment, interpret=interpret)
+
+
 def frame_substeps(delta_time: float, time_scale: float, hz: float = 480.0,
                    max_substeps: int = 8) -> Tuple[int, float]:
     """Host-side substep schedule (cloth.rs:1461-1471):

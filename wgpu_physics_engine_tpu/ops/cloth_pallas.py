@@ -70,6 +70,128 @@ def _family_masks(h, w, dr, dc, dtype=jnp.float32):
     return ok
 
 
+def _substep_planes(carry, masks, scal, dist_inv, pins=None, fext=None):
+    """One physics substep on six ``[h, w]`` planes (x, y, z, vx, vy, vz).
+
+    The body of the fused kernel's loop, factored out so the grad-path
+    trace kernel (ops/cloth_pallas_grad.py) steps with the IDENTICAL
+    expressions — the backward pass recomputes the forward trajectory and
+    must reproduce it exactly.
+
+    ``masks``: per-family validity planes (order = ``_FAMILIES``);
+    ``scal``: ``(k3, c3, rest3, k_contact, mu, mass, gravity, damp_factor,
+    min_dist, dt)``; ``pins``: ``(pin_bool, px, py, pz)`` or None;
+    ``fext``: ``(fx, fy, fz)`` external force planes or None.
+    """
+    x, y, z, vx, vy, vz = carry
+    h, w = x.shape
+    k, c, rest, k_contact, mu, mass, gravity, damp_factor, min_dist, dt = scal
+
+    # ---- spring stencil (forces.wgsl:143-313) ----
+    fx = jnp.zeros((h, w), jnp.float32)
+    fy = jnp.zeros((h, w), jnp.float32)
+    fz = jnp.zeros((h, w), jnp.float32)
+    # rows-shifted planes shared by the (1,0), (1,1), (1,-1) families
+    row1 = [pltpu.roll(a, (-1) % h, axis=0) for a in (x, y, z, vx, vy, vz)]
+    for fam_idx, (dr, dc, t) in enumerate(_FAMILIES):
+        ok = masks[fam_idx]
+        if dr == 1:
+            planes = row1
+            if dc:
+                planes = [pltpu.roll(a, (-dc) % w, axis=1) for a in planes]
+            p1x, p1y, p1z, v1x, v1y, v1z = planes
+        else:
+            p1x, p1y, p1z = (_shift(a, dr, dc, h, w) for a in (x, y, z))
+            v1x, v1y, v1z = (_shift(a, dr, dc, h, w) for a in (vx, vy, vz))
+        dxv, dyv, dzv = p1x - x, p1y - y, p1z - z
+        dist, inv = dist_inv(dxv * dxv + dyv * dyv + dzv * dzv)
+        safe = dist >= _EPS
+        ux, uy, uz = dxv * inv, dyv * inv, dzv * inv
+        stretch = dist - rest[t]
+        v_along = (v1x - vx) * ux + (v1y - vy) * uy + (v1z - vz) * uz
+        s = k[t] * stretch + c[t] * v_along
+        keep = ok & safe
+        ex = jnp.where(keep, s * ux, 0.0)
+        ey = jnp.where(keep, s * uy, 0.0)
+        ez = jnp.where(keep, s * uz, 0.0)
+        fx = fx + ex
+        fy = fy + ey
+        fz = fz + ez
+        # reaction on p1: shift E back by (+dr, +dc); masked zeros wrap
+        fx = fx - _shift(ex, -dr, -dc, h, w)
+        fy = fy - _shift(ey, -dr, -dc, h, w)
+        fz = fz - _shift(ez, -dr, -dc, h, w)
+
+    # ---- external force (self-contact narrow phase), then
+    # ---- integrate (compute_movement.wgsl:70-174) ----
+    if fext is not None:
+        fx = fx + fext[0]
+        fy = fy + fext[1]
+        fz = fz + fext[2]
+    fy = fy + mass * gravity
+
+    dist, inv_d = dist_inv(x * x + y * y + z * z)
+    in_contact = (dist < min_dist) & (dist > _EPS)
+    nx, ny, nz = x * inv_d, y * inv_d, z * inv_d
+    pen = k_contact * (min_dist - dist)
+    fx = jnp.where(in_contact, fx + pen * nx, fx)
+    fy = jnp.where(in_contact, fy + pen * ny, fy)
+    fz = jnp.where(in_contact, fz + pen * nz, fz)
+
+    ro_n = fx * nx + fy * ny + fz * nz
+    tx, ty, tz = fx - ro_n * nx, fy - ro_n * ny, fz - ro_n * nz
+    tmag, inv_t = dist_inv(tx * tx + ty * ty + tz * tz)
+    fric = in_contact & (tmag > _EPS)
+    fmag = -jnp.minimum(tmag, mu * jnp.abs(ro_n))
+    fx = jnp.where(fric, fx + fmag * tx * inv_t, fx)
+    fy = jnp.where(fric, fy + fmag * ty * inv_t, fy)
+    fz = jnp.where(fric, fz + fmag * tz * inv_t, fz)
+
+    inv_m = 1.0 / mass
+    vx = (vx + fx * inv_m * dt) * damp_factor
+    vy = (vy + fy * inv_m * dt) * damp_factor
+    vz = (vz + fz * inv_m * dt) * damp_factor
+    x = x + vx * dt
+    y = y + vy * dt
+    z = z + vz * dt
+
+    fdist, inv_f = dist_inv(x * x + y * y + z * z)
+    pen2 = fdist < min_dist
+    pen_safe = pen2 & (fdist > _EPS)
+    pen_center = pen2 & jnp.logical_not(pen_safe)
+    x = jnp.where(pen_safe, x * inv_f * min_dist, jnp.where(pen_center, 0.0, x))
+    y = jnp.where(pen_safe, y * inv_f * min_dist, jnp.where(pen_center, min_dist, y))
+    z = jnp.where(pen_safe, z * inv_f * min_dist, jnp.where(pen_center, 0.0, z))
+    vx = jnp.where(pen2, 0.0, vx)
+    vy = jnp.where(pen2, 0.0, vy)
+    vz = jnp.where(pen2, 0.0, vz)
+
+    if pins is not None:
+        pin, px_pin, py_pin, pz_pin = pins
+        x = jnp.where(pin, px_pin, x)
+        y = jnp.where(pin, py_pin, y)
+        z = jnp.where(pin, pz_pin, z)
+        vx = jnp.where(pin, 0.0, vx)
+        vy = jnp.where(pin, 0.0, vy)
+        vz = jnp.where(pin, 0.0, vz)
+    return x, y, z, vx, vy, vz
+
+
+def _exact_dist_inv(d2):
+    """(dist, 1/dist) with the zero guard; d2 = squared distance."""
+    dist = jnp.sqrt(d2)
+    safe = dist >= _EPS
+    inv = jnp.where(safe, 1.0 / jnp.where(safe, dist, 1.0), 0.0)
+    return dist, inv
+
+
+def _fast_dist_inv(d2):
+    """rsqrt formulation (≈1 ulp vs sqrt+divide; ~10% kernel speedup)."""
+    pos_d2 = d2 > _EPS * _EPS
+    inv = jax.lax.rsqrt(jnp.where(pos_d2, d2, 1.0))
+    return jnp.where(pos_d2, d2 * inv, 0.0), jnp.where(pos_d2, inv, 0.0)
+
+
 def _kernel(params_ref, *refs, h, w, n_steps, use_pins, fast_math=False,
             window=False, extra_force=False):
     """Fused multi-substep body. With ``window=True`` an extra leading
@@ -129,109 +251,16 @@ def _kernel(params_ref, *refs, h, w, n_steps, use_pins, fast_math=False,
     else:
         masks = [_family_masks(h, w, dr, dc) for dr, dc, _ in _FAMILIES]
 
-    def dist_inv(d2):
-        """(dist, 1/dist) with the zero guard; d2 = squared distance.
-
-        fast_math uses rsqrt (≈1 ulp vs sqrt+divide; ~10% kernel speedup)."""
-        if fast_math:
-            pos_d2 = d2 > _EPS * _EPS
-            inv = jax.lax.rsqrt(jnp.where(pos_d2, d2, 1.0))
-            return jnp.where(pos_d2, d2 * inv, 0.0), jnp.where(pos_d2, inv, 0.0)
-        dist = jnp.sqrt(d2)
-        safe = dist >= _EPS
-        inv = jnp.where(safe, 1.0 / jnp.where(safe, dist, 1.0), 0.0)
-        return dist, inv
+    dist_inv = _fast_dist_inv if fast_math else _exact_dist_inv
+    scal = (k, c, rest, k_contact, mu, mass, gravity, damp_factor, min_dist,
+            dt)
+    pins = (pin, px_pin, py_pin, pz_pin) if use_pins else None
+    fext = ((fext_ref[0], fext_ref[1], fext_ref[2]) if extra_force
+            else None)
 
     def substep(_, carry):
-        x, y, z, vx, vy, vz = carry
-
-        # ---- spring stencil (forces.wgsl:143-313) ----
-        fx = jnp.zeros((h, w), jnp.float32)
-        fy = jnp.zeros((h, w), jnp.float32)
-        fz = jnp.zeros((h, w), jnp.float32)
-        # rows-shifted planes shared by the (1,0), (1,1), (1,-1) families
-        row1 = [pltpu.roll(a, (-1) % h, axis=0) for a in (x, y, z, vx, vy, vz)]
-        for fam_idx, (dr, dc, t) in enumerate(_FAMILIES):
-            ok = masks[fam_idx]
-            if dr == 1:
-                planes = row1
-                if dc:
-                    planes = [pltpu.roll(a, (-dc) % w, axis=1) for a in planes]
-                p1x, p1y, p1z, v1x, v1y, v1z = planes
-            else:
-                p1x, p1y, p1z = (_shift(a, dr, dc, h, w) for a in (x, y, z))
-                v1x, v1y, v1z = (_shift(a, dr, dc, h, w) for a in (vx, vy, vz))
-            dxv, dyv, dzv = p1x - x, p1y - y, p1z - z
-            dist, inv = dist_inv(dxv * dxv + dyv * dyv + dzv * dzv)
-            safe = dist >= _EPS
-            ux, uy, uz = dxv * inv, dyv * inv, dzv * inv
-            stretch = dist - rest[t]
-            v_along = (v1x - vx) * ux + (v1y - vy) * uy + (v1z - vz) * uz
-            s = k[t] * stretch + c[t] * v_along
-            keep = ok & safe
-            ex = jnp.where(keep, s * ux, 0.0)
-            ey = jnp.where(keep, s * uy, 0.0)
-            ez = jnp.where(keep, s * uz, 0.0)
-            fx = fx + ex
-            fy = fy + ey
-            fz = fz + ez
-            # reaction on p1: shift E back by (+dr, +dc); masked zeros wrap
-            fx = fx - _shift(ex, -dr, -dc, h, w)
-            fy = fy - _shift(ey, -dr, -dc, h, w)
-            fz = fz - _shift(ez, -dr, -dc, h, w)
-
-        # ---- external force (self-contact narrow phase), then
-        # ---- integrate (compute_movement.wgsl:70-174) ----
-        if extra_force:
-            fx = fx + fext_ref[0]
-            fy = fy + fext_ref[1]
-            fz = fz + fext_ref[2]
-        fy = fy + mass * gravity
-
-        dist, inv_d = dist_inv(x * x + y * y + z * z)
-        in_contact = (dist < min_dist) & (dist > _EPS)
-        nx, ny, nz = x * inv_d, y * inv_d, z * inv_d
-        pen = k_contact * (min_dist - dist)
-        fx = jnp.where(in_contact, fx + pen * nx, fx)
-        fy = jnp.where(in_contact, fy + pen * ny, fy)
-        fz = jnp.where(in_contact, fz + pen * nz, fz)
-
-        ro_n = fx * nx + fy * ny + fz * nz
-        tx, ty, tz = fx - ro_n * nx, fy - ro_n * ny, fz - ro_n * nz
-        tmag, inv_t = dist_inv(tx * tx + ty * ty + tz * tz)
-        fric = in_contact & (tmag > _EPS)
-        fmag = -jnp.minimum(tmag, mu * jnp.abs(ro_n))
-        fx = jnp.where(fric, fx + fmag * tx * inv_t, fx)
-        fy = jnp.where(fric, fy + fmag * ty * inv_t, fy)
-        fz = jnp.where(fric, fz + fmag * tz * inv_t, fz)
-
-        inv_m = 1.0 / mass
-        vx = (vx + fx * inv_m * dt) * damp_factor
-        vy = (vy + fy * inv_m * dt) * damp_factor
-        vz = (vz + fz * inv_m * dt) * damp_factor
-        x = x + vx * dt
-        y = y + vy * dt
-        z = z + vz * dt
-
-        fdist, inv_f = dist_inv(x * x + y * y + z * z)
-        pen2 = fdist < min_dist
-        pen_safe = pen2 & (fdist > _EPS)
-        pen_center = pen2 & jnp.logical_not(pen_safe)
-        x = jnp.where(pen_safe, x * inv_f * min_dist, jnp.where(pen_center, 0.0, x))
-        y = jnp.where(pen_safe, y * inv_f * min_dist, jnp.where(pen_center, min_dist, y))
-        z = jnp.where(pen_safe, z * inv_f * min_dist, jnp.where(pen_center, 0.0, z))
-        vx = jnp.where(pen2, 0.0, vx)
-        vy = jnp.where(pen2, 0.0, vy)
-        vz = jnp.where(pen2, 0.0, vz)
-
-        if use_pins:
-            x = jnp.where(pin, px_pin, x)
-            y = jnp.where(pin, py_pin, y)
-            z = jnp.where(pin, pz_pin, z)
-            vx = jnp.where(pin, 0.0, vx)
-            vy = jnp.where(pin, 0.0, vy)
-            vz = jnp.where(pin, 0.0, vz)
-        return x, y, z, vx, vy, vz
+        return _substep_planes(carry, masks, scal, dist_inv, pins=pins,
+                               fext=fext)
 
     x, y, z, vx, vy, vz = jax.lax.fori_loop(
         0, n_steps, substep, (x, y, z, vx, vy, vz))
