@@ -42,3 +42,12 @@ def test_differentiable_example_one_step():
 
     v, g = jax.value_and_grad(loss)(jnp.float32(450.0))
     assert np.isfinite(float(v)) and np.isfinite(float(g))
+
+
+def test_inverse_rendering_light_stage_reduced():
+    """Stage 1 of examples/inverse_rendering.py, few iterations: the
+    pixel-MSE gradient must strictly improve the light direction."""
+    import inverse_rendering as ir
+
+    err = ir.recover_light(n_iters=6)
+    assert err < 20.0  # starts 45 deg off; backtracking GD gets close fast

@@ -46,6 +46,35 @@ def _ndc_z(view_z: jnp.ndarray, camera: Camera) -> jnp.ndarray:
     return (p22 * view_z + p23) / (-view_z)
 
 
+def _safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """``sqrt(maximum(x, 0))`` with a finite backward pass everywhere.
+
+    The renderer's XLA paths are differentiable (inverse rendering —
+    examples/inverse_rendering.py); the naked form's d sqrt/dx|0 = inf
+    turns into NaN cotangents for every MISSED ray (0-cotangent · inf),
+    poisoning gradients of hit pixels through shared reductions."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def _sphere_uv(rel: jnp.ndarray, radius) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference sphere parametrization (sphere_vertices.rs:34-54) with
+    pole-safe gradients: ``arcsin`` never sees ±1 and ``arctan2`` never
+    sees (0, 0) on the backward pass. Primal-identical to the naked form
+    (the pole pixel's u = 0, v ∈ {0, 1} either way)."""
+    z_over_r = jnp.clip(rel[2] / jnp.float32(radius), -1.0, 1.0)
+    interior = jnp.abs(z_over_r) < 1.0
+    asv = jnp.arcsin(jnp.where(interior, z_over_r, 0.0))
+    v = jnp.where(interior, (jnp.pi / 2.0 - asv) / jnp.pi,
+                  jnp.where(z_over_r > 0, 0.0, 1.0))
+    r2xy = rel[0] * rel[0] + rel[1] * rel[1]
+    off_pole = r2xy > 0
+    theta = jnp.arctan2(jnp.where(off_pole, rel[1], 0.0),
+                        jnp.where(off_pole, rel[0], 1.0))
+    u = jnp.mod(theta / (2.0 * jnp.pi), 1.0)
+    return u, v
+
+
 def _view_rot(camera: Camera) -> jnp.ndarray:
     return camera.view[:3, :3]
 
@@ -77,7 +106,7 @@ def draw_globe(fb: Framebuffer, camera: Camera, radius,
     cc = jnp.dot(oc, oc)
     disc = b * b - (cc - jnp.float32(radius) ** 2)
     hit = (disc > 0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = _safe_sqrt(disc)
     t = b - sq
     hit = hit & (t > camera.znear)
 
@@ -89,17 +118,16 @@ def draw_globe(fb: Framebuffer, camera: Camera, radius,
     p_view = jnp.einsum("ij,jhw->ihw", rot, p_world - eye[:, None, None])
     n_view = jnp.einsum("ij,jhw->ihw", rot, n_world)
 
-    # UV from the reference parametrization
-    z_over_r = jnp.clip(rel[2] / jnp.float32(radius), -1.0, 1.0)
-    theta = jnp.arctan2(rel[1], rel[0])
-    u = jnp.mod(theta / (2.0 * jnp.pi), 1.0)
-    v = (jnp.pi / 2.0 - jnp.arcsin(z_over_r)) / jnp.pi
+    # UV from the reference parametrization (pole-safe gradients)
+    u, v = _sphere_uv(rel, radius)
     albedo = tex_mod.sample(texture, u, v)
 
     color = shading.phong(p_view, n_view, albedo, _light_view(camera, light),
                           light, compute_specular)
 
-    zn = _ndc_z(p_view[2], camera)
+    # masked pixels carry garbage view-z; pin them finite so the division's
+    # backward pass stays NaN-free (win is False there either way)
+    zn = _ndc_z(jnp.where(hit, p_view[2], -1.0), camera)
     win = hit & (zn < fb.depth)
     return Framebuffer(
         color=jnp.where(win[..., None], color, fb.color),
@@ -185,7 +213,7 @@ def draw_instanced_spheres(
             b = d @ oc.T                                # [P,K]  (MXU)
             cc = jnp.sum(oc * oc, axis=1)               # [K]
             disc = b * b - (cc[None, :] - r2)
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            sq = _safe_sqrt(disc)
             t = b - sq
             ok = (disc > 0.0) & (t > camera.znear) & val[None, :]
             t = jnp.where(ok, t, jnp.inf)
@@ -215,10 +243,7 @@ def draw_instanced_spheres(
     p_view = jnp.einsum("ij,jhw->ihw", rot, p_world - eye[:, None, None])
 
     if texture is not None:
-        z_over_r = jnp.clip(rel[2] / jnp.float32(radius), -1.0, 1.0)
-        theta = jnp.arctan2(rel[1], rel[0])
-        u = jnp.mod(theta / (2.0 * jnp.pi), 1.0)
-        v = (jnp.pi / 2.0 - jnp.arcsin(z_over_r)) / jnp.pi
+        u, v = _sphere_uv(rel, radius)
         albedo = tex_mod.sample(texture, u, v)
     else:
         albedo = jnp.broadcast_to(jnp.asarray(flat_color, jnp.float32), (h, w, 3))
@@ -230,7 +255,7 @@ def draw_instanced_spheres(
     else:
         color = albedo
 
-    zn = _ndc_z(p_view[2], camera)
+    zn = _ndc_z(jnp.where(hitg, p_view[2], -1.0), camera)
     win = hitg & (zn < fb.depth)
     return Framebuffer(
         color=jnp.where(win[..., None], color, fb.color),

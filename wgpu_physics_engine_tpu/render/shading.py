@@ -23,7 +23,13 @@ from ..core import config as cfg
 
 
 def _normalize(v, axis=0, eps=1e-12):
-    n = jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=True))
+    # primal-identical to sqrt(sum(v²)) (sqrt(0) = 0) but the sqrt never
+    # sees 0 under reverse-mode (d sqrt/dx|0 = inf, and inf · 0-cotangent
+    # = NaN poisons even masked pixels) — the renderer is differentiable
+    # (see ops/cloth_pallas_grad.py's module docstring for the pattern)
+    s = jnp.sum(v * v, axis=axis, keepdims=True)
+    pos = s > 0
+    n = jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
     return v / jnp.maximum(n, eps)
 
 
