@@ -24,6 +24,17 @@ import jax
 import jax.numpy as jnp
 
 
+def _safe_norm(d2: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(d2) with a finite backward pass at d2 = 0 (primal identical:
+    sqrt(0) = 0). Self/invalid candidate slots gather coincident
+    positions, and the naked sqrt's infinite derivative there turns the
+    where-mask's zero cotangent into NaN — which would poison
+    ``jax.grad`` through the contact paths (the XLA narrow phases are
+    differentiable; see models/cloth._safe_norm for the same guard)."""
+    pos = d2 > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class GridSpec:
     """Static uniform-grid description. ``cell_size`` must be ≥ the
@@ -215,7 +226,7 @@ def pair_forces_sorted(grid: SortedGrid, spec: GridSpec, radius, k_contact,
         valid = valid & (idx != slot_self[:, None])
         cpos = pos[:, idx]                               # [3, N, window]
         d = pos[:, :, None] - cpos
-        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+        dist = _safe_norm(jnp.sum(d * d, axis=0))
         touching = valid & (dist < min_dist) & (dist > 1e-6)
         inv = 1.0 / jnp.where(dist > 1e-6, dist, 1.0)
         f = jnp.where(touching[None], (k_contact * (min_dist - dist) * inv)[None] * d, 0.0)
@@ -338,7 +349,7 @@ def pair_forces(pos: jnp.ndarray, vel: jnp.ndarray, table: jnp.ndarray,
         cand_safe = jnp.where(valid, cand, 0)
         cpos = pos[:, cand_safe]                            # [3, N, cap]
         d = pos[:, :, None] - cpos
-        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+        dist = _safe_norm(jnp.sum(d * d, axis=0))
         touching = valid & (dist < min_dist) & (dist > 1e-6)
         inv = 1.0 / jnp.where(dist > 1e-6, dist, 1.0)
         overlap = min_dist - dist

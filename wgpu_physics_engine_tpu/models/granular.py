@@ -188,7 +188,7 @@ def _frozen_substep(pos: jnp.ndarray, vel: jnp.ndarray, idx: jnp.ndarray,
     min_dist = 2.0 * jnp.float32(config.radius)
     cpos = pos[:, idx]                                   # [3, N, M]
     d = pos[:, :, None] - cpos
-    dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+    dist = broadphase._safe_norm(jnp.sum(d * d, axis=0))
     touching = mask & (dist < min_dist) & (dist > 1e-6)
     inv = 1.0 / jnp.where(dist > 1e-6, dist, 1.0)
     f = jnp.where(touching[None],
