@@ -51,3 +51,27 @@ def test_inverse_rendering_light_stage_reduced():
 
     err = ir.recover_light(n_iters=6)
     assert err < 20.0  # starts 45 deg off; backtracking GD gets close fast
+
+
+def test_multichip_training_gradient_brackets_truth():
+    """examples/multichip_training.py machinery on the 8-device mesh: the
+    DP+SP sharded rollout loss has its minimum at the true stiffness —
+    gradients from both sides point at it (full convergence is the
+    example's job; the sign structure is the deterministic invariant)."""
+    import multichip_training as mt
+
+    m, c, params, state = mt.make_problem()
+    target = mt.rollout(state, params, m)
+
+    def loss(log_k):
+        p = params._replace(k_struct=jnp.exp(log_k))
+        out = mt.rollout(state, p, m)
+        return 1e3 * jnp.mean((out.pos - target.pos) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    l_lo, g_lo = vg(jnp.log(jnp.float32(430.0)))
+    l_at, g_at = vg(jnp.log(params.k_struct))
+    l_hi, g_hi = vg(jnp.log(jnp.float32(470.0)))
+    assert float(g_lo) < 0 < float(g_hi)
+    assert float(l_at) < 1e-8 and abs(float(g_at)) < 1e-4
+    assert float(l_lo) > 1e-4 and float(l_hi) > 1e-4

@@ -244,8 +244,13 @@ def batched_spatial_multi_step(state: ClothState, params: ClothParams,
 
     # one body parameterized over the (static) pin presence: the mapped
     # tuple carries pins only when they exist, so the pinned and unpinned
-    # variants can't drift apart (they once duplicated the scan/map loop)
-    def body(pos, vel, *pins):
+    # variants can't drift apart (they once duplicated the scan/map loop).
+    # params/dt enter as REPLICATED shard_map operands, not closures:
+    # closed-over tracers (e.g. under jax.grad of a training step) carry
+    # Auto-mesh shardings that clash with the Manual context — and as
+    # operands their cotangents are psum'd across shards by shard_map's
+    # transpose, which is exactly the DP gradient aggregation.
+    def body(pos, vel, params, dt, *pins):
         def one_world(args):
             pos, vel, *pw = args
             pinm, pinp = pw if has_pins else (None, None)
@@ -263,9 +268,10 @@ def batched_spatial_multi_step(state: ClothState, params: ClothParams,
 
     pin_args = (state.pin_mask, state.pin_pos) if has_pins else ()
     pin_specs = (spec_mask, spec) if has_pins else ()
-    f = shard_map(body, mesh=mesh, in_specs=(spec, spec, *pin_specs),
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(spec, spec, P(), P(), *pin_specs),
                   out_specs=(spec, spec), check_vma=False)
-    new_pos, new_vel = jax.jit(f)(state.pos, state.vel, *pin_args)
+    new_pos, new_vel = jax.jit(f)(state.pos, state.vel, params, dt, *pin_args)
     return state._replace(pos=new_pos, vel=new_vel)
 
 
