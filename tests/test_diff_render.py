@@ -122,8 +122,8 @@ def test_pixels_to_gravity_derivative_sign():
 
     def frame(g):
         out = cloth.multi_step_diff(
-            state0, params._replace(gravity=g), dt, 96, segment=48)
-        return ir._cloth_image(out, h=32, w=40)
+            state0, params._replace(gravity=g), dt, 64, segment=32)
+        return ir._cloth_image(out, h=28, w=32)
 
     target = frame(jnp.float32(-22.5))
     vg = jax.value_and_grad(lambda g: jnp.mean((frame(g) - target) ** 2))
@@ -147,7 +147,7 @@ def test_granular_xla_path_grads_finite():
     dt = jnp.float32(1 / 240)
 
     def loss(pos):
-        out = granular.multi_step(state._replace(pos=pos), cfg_g, dt, 8,
+        out = granular.multi_step(state._replace(pos=pos), cfg_g, dt, 4,
                                   backend="xla")
         return jnp.mean(out.pos[1])
 

@@ -25,4 +25,6 @@ run probe_sc_phase sc_phase_b512 512 1280
 run probe_fid32 probe_fid32
 run probe_dg3 probe_dg3
 run probe_grad probe_grad
+# fallback datapoint if the 256^2 transpose kernel OOMs VMEM
+run probe_grad probe_grad128 128
 echo "ALL PROBES DONE $(date)"
