@@ -201,10 +201,39 @@ def _run_child(name: str) -> dict:
         return {}
 
 
+def _preflight() -> bool:
+    """Cheap backend health check before launching any 30-min child.
+
+    A downed axon worker hangs every fresh python at interpreter start
+    (the sitecustomize registers the TPU plugin), so a tiny subprocess
+    that just initializes the backend distinguishes healthy (seconds)
+    from down (hangs) without paying a full child timeout.
+    """
+    code = "import jax; print(len(jax.devices()))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=300)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     child = os.environ.get(_CHILD_ENV)
     if child:
         print(json.dumps(_CHILDREN[child]()))
+        return
+
+    if not _preflight():
+        print("# preflight failed: backend unreachable (TPU worker down?); "
+              "emitting empty bench", file=sys.stderr)
+        print(json.dumps({
+            "metric": "particle-steps/sec/chip (256x256 cloth + sphere collide)",
+            "value": 0.0,
+            "unit": "particle-steps/s",
+            "vs_baseline": 0.0,
+            "error": "backend unreachable at preflight",
+        }))
         return
 
     results = {}
