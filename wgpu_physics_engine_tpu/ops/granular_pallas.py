@@ -832,7 +832,8 @@ def civ_bounds(spec: broadphase.GridSpec, thin: bool):
 
 def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
                           cidc_blk, slab_ref, slab_next_ref, slabs,
-                          facc, sems, *, block, slab, bounds, mxu=False):
+                          facc, sems, *, block, slab, bounds, mxu=False,
+                          base=None):
     """CIV variant of :func:`_pair_force_phase_pipelined`: validity is
     ``cid_j - cid_i ∈ bounds[g]`` computed from the cid plane that rides
     in ``pos3_hbm`` row 3 (one fused DMA brings positions + cids), so the
@@ -891,7 +892,13 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
     py = posc_blk[:, 1:2]
     pz = posc_blk[:, 2:3]
     pc = cidc_blk[:, 0:1]
+    # ``base`` (sharded launches, parallel/granular_mesh.py): the launch
+    # covers blocks [base/block, base/block + nb) of the GLOBAL sorted
+    # array, so the self index — compared against global slab lanes jg
+    # and against n_real — needs the offset.
     selfs = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    if base is not None:
+        selfs = selfs + base
     fx = jnp.zeros((block, 1), jnp.float32)
     fy = jnp.zeros((block, 1), jnp.float32)
     fz = jnp.zeros((block, 1), jnp.float32)
@@ -1024,10 +1031,14 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     limit = params_ref[5]
 
     if civ:
+        # a 7th params element (sharded launches) is the launch's global
+        # first-particle index; f32 carries it exactly below 2**24
+        base = (jnp.int32(params_ref[6])
+                if params_ref.shape[0] > 6 else None)
         px, py, pz, fx, fy, fz, selfs = _pair_force_phase_civ(
             min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
             slab_next_ref, slabs, facc, sems, block=block, slab=slab,
-            bounds=civ, mxu=mxu)
+            bounds=civ, mxu=mxu, base=base)
     elif merge:
         px, py, pz, fx, fy, fz, selfs = _pair_force_phase_merged(
             min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
