@@ -304,6 +304,245 @@ def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
     return posc[:n].T, velc[:n].T, grid.order, dropped
 
 
+def _mirror_substep(posc, velc, f, config: GranularConfig, dt, alive):
+    """XLA mirror of the integrate phase of ``granular_pallas._kernel``
+    (same expression order per axis: gravity -> Euler -> wall clamp &
+    reflect -> pad-row freeze), on padded SORTED [n_pad, 3] state with
+    the pair force ``f`` as an input. The differentiable half of the
+    substep — its ``jax.vjp`` is the transpose the backward pass uses."""
+    force = f.at[:, 1].add(jnp.float32(config.gravity))
+    vel1 = velc + force * dt
+    pos1 = posc + vel1 * dt
+    lim = jnp.float32(config.bounds - config.radius)
+    e = jnp.float32(config.restitution)
+    hit = ((pos1 < -lim) & (vel1 < 0.0)) | ((pos1 > lim) & (vel1 > 0.0))
+    vel2 = jnp.where(hit, -e * vel1, vel1)
+    pos2 = jnp.clip(pos1, -lim, lim)
+    return jnp.where(alive, pos2, posc), jnp.where(alive, vel2, velc)
+
+
+def _diff_structs(pos, vel, config: GranularConfig):
+    """Rebuild for the differentiable path: sorted grid + CIV offsets +
+    padded sorted state. The discrete structure (order, cids, offsets) is
+    a.e. constant in the positions — gradients flow through the VALUES,
+    the same contract as the frozen-window schedule itself."""
+    from ..ops import granular_pallas
+
+    spec = config.grid_spec()
+    block, slab = config.pallas_block, config.pallas_slab
+    n = pos.shape[-1]
+    n_pad = -(-max(n, slab) // block) * block
+    grid = broadphase.build_sorted_grid(pos, vel, spec)
+    civ = granular_pallas.civ_bounds(spec, thin=config.thin)
+    cidf, off, _ = granular_pallas.build_offsets_civ(
+        grid, spec, block, slab, n_pad, thin=config.thin)
+    pad = n_pad - n
+    posc = jnp.pad(grid.sorted_pos.T, ((0, pad), (0, 0)),
+                   constant_values=4.0 * config.bounds)
+    velc = jnp.pad(grid.sorted_vel.T, ((0, pad), (0, 0)))
+    return grid.order, cidf, off, posc, velc, civ, n_pad
+
+
+def _diff_segment_fwd(pos, vel, config: GranularConfig, dt, length: int,
+                      interpret: bool):
+    """One frozen block of the differentiable path: rebuild, then
+    ``length`` substeps of (force kernel -> XLA mirror integrate).
+    Original order in/out."""
+    from ..ops import granular_pallas
+
+    n = pos.shape[-1]
+    block, slab = config.pallas_block, config.pallas_slab
+    order, cidf, off, posc, velc, civ, n_pad = _diff_structs(pos, vel,
+                                                             config)
+    cid_row = cidf[None, :]
+    cidc = cidf[:, None]
+    alive = (jnp.arange(n_pad) < n)[:, None]
+    md = 2.0 * jnp.float32(config.radius)
+
+    def inner(c, _):
+        posc, velc = c
+        pos4 = jnp.concatenate([posc.T, cid_row])
+        f = granular_pallas.contact_forces_sorted(
+            pos4, posc, cidc, off, md, jnp.float32(config.k_contact),
+            block=block, slab=slab, n_real=n, interpret=interpret,
+            thin=config.thin, civ=civ)
+        return _mirror_substep(posc, velc, f[:n_pad], config, dt,
+                               alive), None
+
+    (posc, velc), _ = jax.lax.scan(inner, (posc, velc), None,
+                                   length=length)
+    inv = jnp.argsort(order, stable=True)
+    return posc[:n].T[:, inv], velc[:n].T[:, inv]
+
+
+def _diff_segment_bwd(pos0, vel0, config: GranularConfig, dt, length: int,
+                      interpret: bool, pbar, vbar):
+    """Transpose of :func:`_diff_segment_fwd` — re-runs the segment
+    storing per-substep (state, force), then walks it backwards: the XLA
+    mirror's ``jax.vjp`` transposes integrate/wall, and the pair-force
+    term ``Jᵀ f̄`` rides the slab-DMA JVP kernel (J is symmetric: the
+    contact force is the gradient of a pair potential and the CIV
+    candidate relation is symmetric — see
+    ``granular_pallas.contact_force_jvp_sorted``)."""
+    from ..ops import granular_pallas
+
+    n = pos0.shape[-1]
+    block, slab = config.pallas_block, config.pallas_slab
+    order, cidf, off, posc0, velc0, civ, n_pad = _diff_structs(pos0, vel0,
+                                                               config)
+    cid_row = cidf[None, :]
+    cidc = cidf[:, None]
+    alive = (jnp.arange(n_pad) < n)[:, None]
+    pad = n_pad - n
+    md = 2.0 * jnp.float32(config.radius)
+    kc = jnp.float32(config.k_contact)
+
+    def fw(c, _):
+        posc, velc = c
+        pos4 = jnp.concatenate([posc.T, cid_row])
+        f = granular_pallas.contact_forces_sorted(
+            pos4, posc, cidc, off, md, kc, block=block, slab=slab,
+            n_real=n, interpret=interpret, thin=config.thin, civ=civ)
+        out = _mirror_substep(posc, velc, f, config, dt, alive)
+        return out, (posc, velc, f)
+
+    _, trace = jax.lax.scan(fw, (posc0, velc0), None, length=length)
+
+    # incoming original-order cotangents -> the sorted frame (transpose
+    # of the gather sorted = orig[:, order] is a gather by order)
+    pbc = jnp.pad(pbar[:, order].T, ((0, pad), (0, 0)))
+    vbc = jnp.pad(vbar[:, order].T, ((0, pad), (0, 0)))
+
+    def bw(c, xs):
+        pbc, vbc, dtb = c
+        posc, velc, f = xs
+        _, vjp = jax.vjp(
+            lambda pc, vc, ff, dtt: _mirror_substep(pc, vc, ff, config,
+                                                    dtt, alive),
+            posc, velc, f, dt)
+        pb1, vb1, fbar, d = vjp((pbc, vbc))
+        pos8 = jnp.concatenate([posc.T, fbar.T, cid_row,
+                                jnp.zeros((1, n_pad), jnp.float32)])
+        pu = jnp.concatenate([posc, fbar], axis=1)
+        ft = granular_pallas.contact_force_jvp_sorted(
+            pos8, pu, cidc, off, md, kc, block=block, slab=slab,
+            n_real=n, interpret=interpret, civ=civ)
+        return (pb1 + ft[:, 3:], vb1, dtb + d), None
+
+    (pbc, vbc, dtb), _ = jax.lax.scan(
+        bw, (pbc, vbc, jnp.float32(0.0)), trace, reverse=True)
+    inv = jnp.argsort(order, stable=True)
+    return pbc[inv].T, vbc[inv].T, dtb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _diff_core(pos, vel, dt, config, n_steps, interpret):
+    k = max(1, config.rebuild_every)
+    n_full, rem = divmod(n_steps, k)
+
+    def seg(c, _):
+        p, v = c
+        return _diff_segment_fwd(p, v, config, dt, k, interpret), None
+
+    c = (pos, vel)
+    if n_full:
+        c, _ = jax.lax.scan(seg, c, None, length=n_full)
+    if rem:
+        c = _diff_segment_fwd(c[0], c[1], config, dt, rem, interpret)
+    return c
+
+
+def _diff_core_fwd(pos, vel, dt, config, n_steps, interpret):
+    k = max(1, config.rebuild_every)
+    n_full, rem = divmod(n_steps, k)
+
+    def seg(c, _):
+        p, v = c
+        return _diff_segment_fwd(p, v, config, dt, k, interpret), (p, v)
+
+    c = (pos, vel)
+    starts = None
+    if n_full:
+        c, starts = jax.lax.scan(seg, c, None, length=n_full)
+    rem_start = c
+    if rem:
+        c = _diff_segment_fwd(c[0], c[1], config, dt, rem, interpret)
+    return c, (starts, rem_start, dt)
+
+
+def _diff_core_bwd(config, n_steps, interpret, res, cot):
+    starts, rem_start, dt = res
+    pbar, vbar = cot
+    k = max(1, config.rebuild_every)
+    n_full, rem = divmod(n_steps, k)
+    dtb = jnp.float32(0.0)
+    if rem:
+        pbar, vbar, d = _diff_segment_bwd(
+            rem_start[0], rem_start[1], config, dt, rem, interpret,
+            pbar, vbar)
+        dtb = dtb + d
+    if n_full:
+        def seg(c, xs):
+            pbar, vbar, dtb = c
+            p0, v0 = xs
+            pbar, vbar, d = _diff_segment_bwd(p0, v0, config, dt, k,
+                                              interpret, pbar, vbar)
+            return (pbar, vbar, dtb + d), None
+
+        (pbar, vbar, dtb), _ = jax.lax.scan(
+            seg, (pbar, vbar, dtb), starts, reverse=True)
+    return pbar, vbar, dtb.astype(jnp.float32)
+
+
+_diff_core.defvjp(_diff_core_fwd, _diff_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_steps",
+                                             "interpret"))
+def multi_step_diff(state: ParticleState, config: GranularConfig,
+                    dt, n_steps: int,
+                    interpret: Optional[bool] = None) -> ParticleState:
+    """Differentiable ``multi_step`` at slab-kernel speed.
+
+    ``jax.grad``/``jax.vjp`` flow through this w.r.t. ``state.pos``,
+    ``state.vel``, and ``dt`` (the config is static — its constants are
+    not traced). Forward: the production contact kernel + an XLA mirror
+    of the integrate phase per substep, on the frozen-window schedule.
+    Backward (per rebuild segment, reverse order): re-run the segment
+    storing per-substep (state, force), transpose integrate/wall with
+    ``jax.vjp`` of the mirror, and apply the pair-force transpose
+    ``Jᵀ f̄`` with the slab-DMA JVP kernel
+    (:func:`ops.granular_pallas.contact_force_jvp_sorted` — J symmetric,
+    conservative pair force). Segment checkpointing bounds memory at
+    O(rebuild_every) stored states.
+
+    Gradient contract (same a.e. sense as the cloth path, see
+    tests/test_granular_grad.py): branchy physics (contact activation,
+    wall hits) differentiates piecewise; the discrete broad-phase
+    structure is treated as locally constant; slab drops must be zero
+    (``multi_step(..., return_stats=True)`` telemetry) or the force
+    Jacobian loses its symmetry on the dropped pairs.
+
+    Requires the CIV kernel path (default config); ``mxu`` is not
+    supported here (the JVP kernel differentiates the exact VPU pair
+    expressions).
+    """
+    spec = config.grid_spec()
+    if not (config.civ and not config.merge and not config.sub_block
+            and min(spec.dims) >= 3):
+        raise ValueError(
+            "multi_step_diff needs the CIV kernel path: civ=True without "
+            f"merge/sub_block, grid dims >= 3 (got {spec.dims})")
+    if config.mxu:
+        raise ValueError("multi_step_diff does not support mxu modes")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    pos, vel = _diff_core(state.pos, state.vel,
+                          jnp.asarray(dt, jnp.float32), config, n_steps,
+                          interpret)
+    return ParticleState(pos=pos, vel=vel)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "n_steps",
                                              "return_stats", "backend",
                                              "interpret"))

@@ -1201,6 +1201,216 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
     )(*operands)
 
 
+def _pair_jvp_phase_civ(min_dist, k_contact, pos8_hbm, pu_blk, cidc_blk,
+                        slab_ref, slab_next_ref, slabs, facc, sems, *,
+                        block, slab, bounds, base=None):
+    """CIV pair phase computing the contact force AND its directional
+    derivative (f(p), J·u) for a tangent field ``u`` that rides the slab
+    DMA next to the positions (rows 3-5 of ``pos8_hbm``).
+
+    Purpose (ops/cloth_pallas_grad.py is the cloth analog): reverse-mode
+    through :func:`substep_sorted` needs ``Jᵀ·f̄`` where ``J = ∂f/∂pos``.
+    The penalty contact force is conservative — ``f = -∇U`` for the pair
+    potential ``U = Σ φ(|p_i - p_j|)`` — so ``J`` is symmetric wherever
+    the branch structure is locally constant and ``Jᵀ f̄ = J f̄``: the
+    TRANSPOSE is a forward directional derivative, which has exactly the
+    slab structure of the primal force pass (candidate symmetry:
+    ``j ∈ cand(i) ⟺ i ∈ cand(j)`` for the ±symmetric CIV intervals; a
+    dropped slab entry breaks the pairing, so gradient runs require the
+    dropped telemetry to be zero). The pair tangent math is not
+    hand-derived: ``jax.jvp`` differentiates the same masked expressions
+    the primal phase evaluates, inside the kernel body at trace time.
+
+    Layout mirrors :func:`_pair_force_phase_civ` with an 8-row DMA plane
+    (x, y, z, ux, uy, uz, cid, pad) and a [block, 8] accumulator
+    (f + J·u for the B pass). Returns ``(fx, fy, fz, tx, ty, tz, selfs)``.
+    """
+    ng = len(bounds)
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    row = jax.lax.rem(b, 8)
+    par = jax.lax.rem(b, 2)
+
+    def issue(ref, row_idx, buf):
+        for g in range(ng):
+            offa = pl.multiple_of(ref[row_idx, g * 2], 128)
+            offb = pl.multiple_of(ref[row_idx, g * 2 + 1], 128)
+            pltpu.make_async_copy(
+                pos8_hbm.at[:, pl.ds(offa, slab)], slabs.at[buf, g, 0],
+                sems.at[buf, g, 0]).start()
+
+            @pl.when(offb > offa)
+            def _start_b(offb=offb, g=g, buf=buf):
+                pltpu.make_async_copy(
+                    pos8_hbm.at[:, pl.ds(offb, slab)], slabs.at[buf, g, 1],
+                    sems.at[buf, g, 1]).start()
+
+    @pl.when(b == 0)
+    def _prime():
+        issue(slab_ref, row, par)
+
+    @pl.when(b + 1 < nb)
+    def _prefetch_next():
+        issue(slab_next_ref, jax.lax.rem(b + 1, 8), 1 - par)
+
+    px = pu_blk[:, 0:1]
+    py = pu_blk[:, 1:2]
+    pz = pu_blk[:, 2:3]
+    ux = pu_blk[:, 3:4]
+    uy = pu_blk[:, 4:5]
+    uz = pu_blk[:, 5:6]
+    pc = cidc_blk[:, 0:1]
+    selfs = b * block + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+    if base is not None:
+        selfs = selfs + base
+    zero = jnp.zeros((block, 1), jnp.float32)
+    fx = fy = fz = tx = ty = tz = zero
+    facc[...] = jnp.zeros((block, 8), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
+    center = ng // 2
+
+    def pair_sums(qslab, jg, lo_k, hi_k, lo, check_self):
+        qc = qslab[6:7, :]
+        dc = qc - pc
+        valid = (dc >= lo_k) & (dc <= hi_k)
+        if lo is not None:
+            valid = valid & (jg >= lo)
+        if check_self:
+            valid = valid & (jg != selfs)
+
+        def force(args):
+            # the EXACT primal pair expressions of _pair_force_phase_civ;
+            # jvp treats the comparisons (and `valid`) as constants — the
+            # a.e. derivative, same contract as the cloth grad kernel
+            px_, py_, pz_, qx_, qy_, qz_ = args
+            dx = px_ - qx_
+            dy = py_ - qy_
+            dz = pz_ - qz_
+            d2 = dx * dx + dy * dy + dz * dz
+            touching = valid & (d2 < min_dist * min_dist) & (d2 > _EPS * _EPS)
+            inv = jax.lax.rsqrt(jnp.where(d2 > _EPS * _EPS, d2, 1.0))
+            w = jnp.where(touching, k_contact * (min_dist * inv - 1.0), 0.0)
+            return (jnp.sum(w * dx, axis=1, keepdims=True),
+                    jnp.sum(w * dy, axis=1, keepdims=True),
+                    jnp.sum(w * dz, axis=1, keepdims=True))
+
+        primals = (px, py, pz, qslab[0:1, :], qslab[1:2, :], qslab[2:3, :])
+        tangents = (ux, uy, uz, qslab[3:4, :], qslab[4:5, :], qslab[5:6, :])
+        return jax.jvp(force, (primals,), (tangents,))
+
+    for g in range(ng):
+        lo_k = jnp.float32(bounds[g][0])
+        hi_k = jnp.float32(bounds[g][1])
+        offa = slab_ref[row, g * 2]
+        offb = slab_ref[row, g * 2 + 1]
+        pltpu.make_async_copy(
+            pos8_hbm.at[:, pl.ds(pl.multiple_of(offa, 128), slab)],
+            slabs.at[par, g, 0], sems.at[par, g, 0]).wait()
+        (sx, sy, sz), (jx, jy, jz) = pair_sums(
+            slabs[par, g, 0], lane + offa, lo_k, hi_k, None, g == center)
+        fx = fx + sx
+        fy = fy + sy
+        fz = fz + sz
+        tx = tx + jx
+        ty = ty + jy
+        tz = tz + jz
+
+        @pl.when(offb > offa)
+        def _pass_b(g=g, offa=offa, offb=offb, lo_k=lo_k, hi_k=hi_k):
+            pltpu.make_async_copy(
+                pos8_hbm.at[:, pl.ds(pl.multiple_of(offb, 128), slab)],
+                slabs.at[par, g, 1], sems.at[par, g, 1]).wait()
+            (bx, by, bz), (cx, cy, cz) = pair_sums(
+                slabs[par, g, 1], lane + offb, lo_k, hi_k, offa + slab,
+                g == center)
+            facc[:, 0:1] += bx
+            facc[:, 1:2] += by
+            facc[:, 2:3] += bz
+            facc[:, 3:4] += cx
+            facc[:, 4:5] += cy
+            facc[:, 5:6] += cz
+
+    fx = fx + facc[:, 0:1]
+    fy = fy + facc[:, 1:2]
+    fz = fz + facc[:, 2:3]
+    tx = tx + facc[:, 3:4]
+    ty = ty + facc[:, 4:5]
+    tz = tz + facc[:, 5:6]
+    return fx, fy, fz, tx, ty, tz, selfs
+
+
+def _jvp_kernel(params_ref, pos8_hbm, pu_blk, win_blk, slab_ref,
+                slab_next_ref, ft_out, slabs, facc, sems, *, block, slab,
+                n_real, civ):
+    """Force + directional-derivative kernel: ``ft_out[:, 0:3] = f``,
+    ``ft_out[:, 3:6] = J·u`` (zero on pad rows)."""
+    fx, fy, fz, tx, ty, tz, selfs = _pair_jvp_phase_civ(
+        params_ref[0], params_ref[1], pos8_hbm, pu_blk, win_blk,
+        slab_ref, slab_next_ref, slabs, facc, sems, block=block,
+        slab=slab, bounds=civ)
+    alive = selfs < n_real
+    ft_out[:, 0:1] = jnp.where(alive, fx, 0.0)
+    ft_out[:, 1:2] = jnp.where(alive, fy, 0.0)
+    ft_out[:, 2:3] = jnp.where(alive, fz, 0.0)
+    ft_out[:, 3:4] = jnp.where(alive, tx, 0.0)
+    ft_out[:, 4:5] = jnp.where(alive, ty, 0.0)
+    ft_out[:, 5:6] = jnp.where(alive, tz, 0.0)
+
+
+def contact_force_jvp_sorted(pos8: jnp.ndarray, pu: jnp.ndarray,
+                             cidc: jnp.ndarray, slab_start: jnp.ndarray,
+                             min_dist, k_contact, *, block: int, slab: int,
+                             n_real: int, interpret: bool, civ
+                             ) -> jnp.ndarray:
+    """Contact forces and their directional derivative on padded SORTED
+    state: returns ``[n_pad, 6]`` = ``(f(pos), J·u)`` for tangents ``u``.
+
+    ``pos8`` [8, Np]: x, y, z, ux, uy, uz, cid, pad (one fused slab DMA
+    per candidate range brings positions + tangents + cids). ``pu``
+    [Np, 6]: the same positions + tangents as per-particle columns.
+    CIV mode only (``civ`` from :func:`civ_bounds`, thin or full).
+
+    The reverse-mode use (models/granular.multi_step_diff): the pair
+    force field is the negative gradient of a pair potential, so its
+    Jacobian is symmetric and ``Jᵀ f̄`` — the term the substep transpose
+    needs — is this kernel applied with ``u = f̄``. Requires zero dropped
+    slab entries (asymmetric drops break the pairing; check the rebuild
+    telemetry).
+    """
+    n_pad = pu.shape[0]
+    nb = n_pad // block
+    ng = len(civ)
+    pvec = jnp.stack([jnp.asarray(min_dist, jnp.float32),
+                      jnp.asarray(k_contact, jnp.float32)])
+    kernel = functools.partial(_jvp_kernel, block=block, slab=slab,
+                               n_real=n_real, civ=civ)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),        # params
+        pl.BlockSpec(memory_space=pl.ANY),            # pos8 (DMA src)
+        pl.BlockSpec((block, 6), lambda b: (b, 0)),
+        pl.BlockSpec((block, 1), lambda b: (b, 0)),
+        pl.BlockSpec((8, 2 * ng), lambda b: (b // 8, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, 2 * ng), lambda b: ((b + 1) // 8, 0),
+                     memory_space=pltpu.SMEM),        # prefetch row
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, 6), lambda b: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ng, 2, 8, slab), jnp.float32),
+            pltpu.VMEM((block, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, ng, 2)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((n_pad, 6), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pvec, pos8, pu, cidc, slab_start, slab_start)
+
+
 def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                    windows: jnp.ndarray, slab_start: jnp.ndarray,
                    params_vec: jnp.ndarray, *, block: int, slab: int,
