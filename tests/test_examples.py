@@ -53,6 +53,37 @@ def test_inverse_rendering_light_stage_reduced():
     assert err < 20.0  # starts 45 deg off; backtracking GD gets close fast
 
 
+def test_inverse_granular_gradient_brackets_truth():
+    """examples/inverse_granular.py objective: per-coordinate, the loss
+    gradient on both sides of the true (k_contact, gravity, restitution)
+    points back at the truth, and the loss at truth is ~0 (full
+    convergence is the example's job)."""
+    import inverse_granular as ig
+
+    config, state, target, true, n_steps = ig.make_problem()
+    truth = jnp.array([jnp.log(true["k_contact"]),
+                       0.1 * true["gravity"],
+                       true["restitution"]], jnp.float32)
+
+    def loss(theta):
+        log_k, grav, e = theta[0], 10.0 * theta[1], theta[2]
+        from wgpu_physics_engine_tpu.models import granular
+        out = granular.multi_step_diff(
+            state, config, ig.DT, n_steps, k_contact=jnp.exp(log_k),
+            gravity=grav, restitution=e)
+        return (1e2 * jnp.mean((out.pos - target.pos) ** 2)
+                + jnp.mean((out.vel - target.vel) ** 2))
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    l_at, _ = vg(truth)
+    assert float(l_at) < 1e-9
+    for i in range(3):
+        d = jnp.zeros(3).at[i].set(0.05)
+        _, g_lo = vg(truth - d)
+        _, g_hi = vg(truth + d)
+        assert float(g_lo[i]) < 0 < float(g_hi[i]), i
+
+
 def test_multichip_training_gradient_brackets_truth():
     """examples/multichip_training.py machinery on the 8-device mesh: the
     DP+SP sharded rollout loss has its minimum at the true stiffness —

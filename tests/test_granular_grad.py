@@ -49,12 +49,11 @@ def setup():
     return state, wp, wv
 
 
-def _dense_multi(pos, vel, dt, n_steps, config):
+def _dense_multi(pos, vel, dt, kc, grav, e, n_steps, config):
     """Dense XLA mirror: same CIV candidacy, schedule, and integrate."""
     spec = config.grid_spec()
     civ = gp.civ_bounds(spec, thin=config.thin)
     md = 2.0 * jnp.float32(config.radius)
-    kc = jnp.float32(config.k_contact)
     eps = jnp.float32(1e-6)  # granular_pallas._EPS
     n = pos.shape[-1]
     block = config.pallas_block
@@ -84,8 +83,8 @@ def _dense_multi(pos, vel, dt, n_steps, config):
             inv = jax.lax.rsqrt(jnp.where(d2 > eps * eps, d2, 1.0))
             w = jnp.where(touching, kc * (md * inv - 1.0), 0.0)
             f = jnp.sum(w[:, :, None] * d, axis=1)
-            return granular._mirror_substep(p, v, f, config, dt,
-                                            alive), None
+            return granular._mirror_substep(p, v, f, config, dt, grav,
+                                            e, alive), None
 
         (posc, velc), _ = jax.lax.scan(sub, (posc, velc), None,
                                        length=length)
@@ -115,27 +114,43 @@ def test_primal_matches_production(setup):
 
 @pytest.mark.parametrize("thin", [False, True])
 def test_grad_matches_dense_mirror(setup, thin):
+    """Gradients w.r.t. state, dt, AND the traced physics parameters
+    (k_contact / gravity / restitution) against the dense mirror."""
     state, wp, wv = setup
     config = _config(thin=thin) if thin else CFG
+    # hot state: wall bounces fire inside the horizon so the restitution
+    # cotangent is nonzero (the settled state never hits a wall in 6 steps)
+    state = ParticleState(pos=state.pos, vel=state.vel * 8.0)
+    _, dropped = granular.multi_step(state, config, DT, N_STEPS,
+                                     return_stats=True)
+    assert int(dropped) == 0
+    kc = jnp.float32(config.k_contact)
+    grav = jnp.float32(config.gravity)
+    e = jnp.float32(config.restitution)
 
-    def loss_diff(pos, vel, dt):
+    def loss_diff(pos, vel, dt, kc, grav, e):
         out = granular.multi_step_diff(ParticleState(pos=pos, vel=vel),
-                                       config, dt, N_STEPS)
+                                       config, dt, N_STEPS,
+                                       k_contact=kc, gravity=grav,
+                                       restitution=e)
         return jnp.sum(out.pos * wp) + jnp.sum(out.vel * wv)
 
-    def loss_dense(pos, vel, dt):
-        p, v = _dense_multi(pos, vel, dt, N_STEPS, config)
+    def loss_dense(pos, vel, dt, kc, grav, e):
+        p, v = _dense_multi(pos, vel, dt, kc, grav, e, N_STEPS, config)
         return jnp.sum(p * wp) + jnp.sum(v * wv)
 
-    g1 = jax.jit(jax.grad(loss_diff, argnums=(0, 1, 2)))(
-        state.pos, state.vel, DT)
-    g2 = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(
-        state.pos, state.vel, DT)
-    for a, b in zip(g1, g2):
+    argnums = (0, 1, 2, 3, 4, 5)
+    g1 = jax.jit(jax.grad(loss_diff, argnums=argnums))(
+        state.pos, state.vel, DT, kc, grav, e)
+    g2 = jax.jit(jax.grad(loss_dense, argnums=argnums))(
+        state.pos, state.vel, DT, kc, grav, e)
+    for name, a, b in zip(("pos", "vel", "dt", "kc", "grav", "e"), g1, g2):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-30)
-        assert np.abs(a - b).max() / scale < 1e-5
-        assert np.abs(a).max() > 0.0  # gradients actually flow
+        # 1e-4: slab-kernel vs dense-[N,N] reduction order in fp32 — the
+        # hot state's larger magnitudes push dt's noise to ~3e-5
+        assert np.abs(a - b).max() / scale < 1e-4, name
+        assert np.abs(a).max() > 0.0, name  # gradients actually flow
 
 
 def test_grads_finite_with_walls_active(setup):

@@ -304,17 +304,19 @@ def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
     return posc[:n].T, velc[:n].T, grid.order, dropped
 
 
-def _mirror_substep(posc, velc, f, config: GranularConfig, dt, alive):
+def _mirror_substep(posc, velc, f, config: GranularConfig, dt, grav, e,
+                    alive):
     """XLA mirror of the integrate phase of ``granular_pallas._kernel``
     (same expression order per axis: gravity -> Euler -> wall clamp &
     reflect -> pad-row freeze), on padded SORTED [n_pad, 3] state with
     the pair force ``f`` as an input. The differentiable half of the
-    substep — its ``jax.vjp`` is the transpose the backward pass uses."""
-    force = f.at[:, 1].add(jnp.float32(config.gravity))
+    substep — its ``jax.vjp`` is the transpose the backward pass uses;
+    ``dt``, ``grav``, ``e`` are traced so parameter cotangents come out
+    of that same vjp."""
+    force = f.at[:, 1].add(grav)
     vel1 = velc + force * dt
     pos1 = posc + vel1 * dt
     lim = jnp.float32(config.bounds - config.radius)
-    e = jnp.float32(config.restitution)
     hit = ((pos1 < -lim) & (vel1 < 0.0)) | ((pos1 > lim) & (vel1 > 0.0))
     vel2 = jnp.where(hit, -e * vel1, vel1)
     pos2 = jnp.clip(pos1, -lim, lim)
@@ -343,11 +345,11 @@ def _diff_structs(pos, vel, config: GranularConfig):
     return grid.order, cidf, off, posc, velc, civ, n_pad
 
 
-def _diff_segment_fwd(pos, vel, config: GranularConfig, dt, length: int,
-                      interpret: bool):
+def _diff_segment_fwd(pos, vel, config: GranularConfig, dt, kc, grav, e,
+                      length: int, interpret: bool):
     """One frozen block of the differentiable path: rebuild, then
     ``length`` substeps of (force kernel -> XLA mirror integrate).
-    Original order in/out."""
+    Original order in/out. ``kc``/``grav``/``e`` are traced scalars."""
     from ..ops import granular_pallas
 
     n = pos.shape[-1]
@@ -363,11 +365,11 @@ def _diff_segment_fwd(pos, vel, config: GranularConfig, dt, length: int,
         posc, velc = c
         pos4 = jnp.concatenate([posc.T, cid_row])
         f = granular_pallas.contact_forces_sorted(
-            pos4, posc, cidc, off, md, jnp.float32(config.k_contact),
+            pos4, posc, cidc, off, md, kc,
             block=block, slab=slab, n_real=n, interpret=interpret,
             thin=config.thin, civ=civ)
-        return _mirror_substep(posc, velc, f[:n_pad], config, dt,
-                               alive), None
+        return _mirror_substep(posc, velc, f[:n_pad], config, dt, grav,
+                               e, alive), None
 
     (posc, velc), _ = jax.lax.scan(inner, (posc, velc), None,
                                    length=length)
@@ -375,15 +377,18 @@ def _diff_segment_fwd(pos, vel, config: GranularConfig, dt, length: int,
     return posc[:n].T[:, inv], velc[:n].T[:, inv]
 
 
-def _diff_segment_bwd(pos0, vel0, config: GranularConfig, dt, length: int,
-                      interpret: bool, pbar, vbar):
+def _diff_segment_bwd(pos0, vel0, config: GranularConfig, dt, kc, grav, e,
+                      length: int, interpret: bool, pbar, vbar):
     """Transpose of :func:`_diff_segment_fwd` — re-runs the segment
     storing per-substep (state, force), then walks it backwards: the XLA
-    mirror's ``jax.vjp`` transposes integrate/wall, and the pair-force
-    term ``Jᵀ f̄`` rides the slab-DMA JVP kernel (J is symmetric: the
+    mirror's ``jax.vjp`` transposes integrate/wall (and yields the
+    dt/gravity/restitution cotangents), and the pair-force term
+    ``Jᵀ f̄`` rides the slab-DMA JVP kernel (J is symmetric: the
     contact force is the gradient of a pair potential and the CIV
     candidate relation is symmetric — see
-    ``granular_pallas.contact_force_jvp_sorted``)."""
+    ``granular_pallas.contact_force_jvp_sorted``). The ``k_contact``
+    cotangent uses linearity of the penalty force in ``k``:
+    ``∂⟨f̄, f⟩/∂k = ⟨f̄, f⟩/k`` with ``f`` already in the trace."""
     from ..ops import granular_pallas
 
     n = pos0.shape[-1]
@@ -395,7 +400,6 @@ def _diff_segment_bwd(pos0, vel0, config: GranularConfig, dt, length: int,
     alive = (jnp.arange(n_pad) < n)[:, None]
     pad = n_pad - n
     md = 2.0 * jnp.float32(config.radius)
-    kc = jnp.float32(config.k_contact)
 
     def fw(c, _):
         posc, velc = c
@@ -403,7 +407,7 @@ def _diff_segment_bwd(pos0, vel0, config: GranularConfig, dt, length: int,
         f = granular_pallas.contact_forces_sorted(
             pos4, posc, cidc, off, md, kc, block=block, slab=slab,
             n_real=n, interpret=interpret, thin=config.thin, civ=civ)
-        out = _mirror_substep(posc, velc, f, config, dt, alive)
+        out = _mirror_substep(posc, velc, f, config, dt, grav, e, alive)
         return out, (posc, velc, f)
 
     _, trace = jax.lax.scan(fw, (posc0, velc0), None, length=length)
@@ -412,53 +416,59 @@ def _diff_segment_bwd(pos0, vel0, config: GranularConfig, dt, length: int,
     # of the gather sorted = orig[:, order] is a gather by order)
     pbc = jnp.pad(pbar[:, order].T, ((0, pad), (0, 0)))
     vbc = jnp.pad(vbar[:, order].T, ((0, pad), (0, 0)))
+    inv_kc = jnp.where(kc == 0.0, 0.0, 1.0 / jnp.where(kc == 0.0, 1.0, kc))
 
     def bw(c, xs):
-        pbc, vbc, dtb = c
+        pbc, vbc, dtb, kcb, gb, eb = c
         posc, velc, f = xs
         _, vjp = jax.vjp(
-            lambda pc, vc, ff, dtt: _mirror_substep(pc, vc, ff, config,
-                                                    dtt, alive),
-            posc, velc, f, dt)
-        pb1, vb1, fbar, d = vjp((pbc, vbc))
+            lambda pc, vc, ff, dtt, gg, ee: _mirror_substep(
+                pc, vc, ff, config, dtt, gg, ee, alive),
+            posc, velc, f, dt, grav, e)
+        pb1, vb1, fbar, d, g, ev = vjp((pbc, vbc))
         pos8 = jnp.concatenate([posc.T, fbar.T, cid_row,
                                 jnp.zeros((1, n_pad), jnp.float32)])
         pu = jnp.concatenate([posc, fbar], axis=1)
         ft = granular_pallas.contact_force_jvp_sorted(
             pos8, pu, cidc, off, md, kc, block=block, slab=slab,
             n_real=n, interpret=interpret, civ=civ)
-        return (pb1 + ft[:, 3:], vb1, dtb + d), None
+        kcb = kcb + jnp.vdot(fbar, f) * inv_kc
+        return (pb1 + ft[:, 3:], vb1, dtb + d, kcb, gb + g, eb + ev), None
 
-    (pbc, vbc, dtb), _ = jax.lax.scan(
-        bw, (pbc, vbc, jnp.float32(0.0)), trace, reverse=True)
+    zero = jnp.float32(0.0)
+    (pbc, vbc, dtb, kcb, gb, eb), _ = jax.lax.scan(
+        bw, (pbc, vbc, zero, zero, zero, zero), trace, reverse=True)
     inv = jnp.argsort(order, stable=True)
-    return pbc[inv].T, vbc[inv].T, dtb
+    return pbc[inv].T, vbc[inv].T, dtb, kcb, gb, eb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _diff_core(pos, vel, dt, config, n_steps, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _diff_core(pos, vel, dt, kc, grav, e, config, n_steps, interpret):
     k = max(1, config.rebuild_every)
     n_full, rem = divmod(n_steps, k)
 
     def seg(c, _):
         p, v = c
-        return _diff_segment_fwd(p, v, config, dt, k, interpret), None
+        return _diff_segment_fwd(p, v, config, dt, kc, grav, e, k,
+                                 interpret), None
 
     c = (pos, vel)
     if n_full:
         c, _ = jax.lax.scan(seg, c, None, length=n_full)
     if rem:
-        c = _diff_segment_fwd(c[0], c[1], config, dt, rem, interpret)
+        c = _diff_segment_fwd(c[0], c[1], config, dt, kc, grav, e, rem,
+                              interpret)
     return c
 
 
-def _diff_core_fwd(pos, vel, dt, config, n_steps, interpret):
+def _diff_core_fwd(pos, vel, dt, kc, grav, e, config, n_steps, interpret):
     k = max(1, config.rebuild_every)
     n_full, rem = divmod(n_steps, k)
 
     def seg(c, _):
         p, v = c
-        return _diff_segment_fwd(p, v, config, dt, k, interpret), (p, v)
+        return _diff_segment_fwd(p, v, config, dt, kc, grav, e, k,
+                                 interpret), (p, v)
 
     c = (pos, vel)
     starts = None
@@ -466,32 +476,39 @@ def _diff_core_fwd(pos, vel, dt, config, n_steps, interpret):
         c, starts = jax.lax.scan(seg, c, None, length=n_full)
     rem_start = c
     if rem:
-        c = _diff_segment_fwd(c[0], c[1], config, dt, rem, interpret)
-    return c, (starts, rem_start, dt)
+        c = _diff_segment_fwd(c[0], c[1], config, dt, kc, grav, e, rem,
+                              interpret)
+    return c, (starts, rem_start, dt, kc, grav, e)
 
 
 def _diff_core_bwd(config, n_steps, interpret, res, cot):
-    starts, rem_start, dt = res
+    starts, rem_start, dt, kc, grav, e = res
+    # Non-differentiated scalar residuals come back as TypedNdArray
+    # literals (no __neg__ etc.) — coerce to real arrays before tracing.
+    dt, kc, grav, e = (jnp.asarray(x, jnp.float32)
+                       for x in (dt, kc, grav, e))
     pbar, vbar = cot
     k = max(1, config.rebuild_every)
     n_full, rem = divmod(n_steps, k)
-    dtb = jnp.float32(0.0)
+    zero = jnp.float32(0.0)
+    acc = (zero, zero, zero, zero)  # dt, kc, grav, e cotangents
     if rem:
-        pbar, vbar, d = _diff_segment_bwd(
-            rem_start[0], rem_start[1], config, dt, rem, interpret,
-            pbar, vbar)
-        dtb = dtb + d
+        pbar, vbar, *ds = _diff_segment_bwd(
+            rem_start[0], rem_start[1], config, dt, kc, grav, e, rem,
+            interpret, pbar, vbar)
+        acc = tuple(a + d for a, d in zip(acc, ds))
     if n_full:
         def seg(c, xs):
-            pbar, vbar, dtb = c
+            pbar, vbar, acc = c
             p0, v0 = xs
-            pbar, vbar, d = _diff_segment_bwd(p0, v0, config, dt, k,
-                                              interpret, pbar, vbar)
-            return (pbar, vbar, dtb + d), None
+            pbar, vbar, *ds = _diff_segment_bwd(
+                p0, v0, config, dt, kc, grav, e, k, interpret, pbar,
+                vbar)
+            return (pbar, vbar, tuple(a + d for a, d in zip(acc, ds))), None
 
-        (pbar, vbar, dtb), _ = jax.lax.scan(
-            seg, (pbar, vbar, dtb), starts, reverse=True)
-    return pbar, vbar, dtb.astype(jnp.float32)
+        (pbar, vbar, acc), _ = jax.lax.scan(
+            seg, (pbar, vbar, acc), starts, reverse=True)
+    return (pbar, vbar) + tuple(a.astype(jnp.float32) for a in acc)
 
 
 _diff_core.defvjp(_diff_core_fwd, _diff_core_bwd)
@@ -501,12 +518,19 @@ _diff_core.defvjp(_diff_core_fwd, _diff_core_bwd)
                                              "interpret"))
 def multi_step_diff(state: ParticleState, config: GranularConfig,
                     dt, n_steps: int,
-                    interpret: Optional[bool] = None) -> ParticleState:
+                    interpret: Optional[bool] = None,
+                    k_contact=None, gravity=None,
+                    restitution=None) -> ParticleState:
     """Differentiable ``multi_step`` at slab-kernel speed.
 
     ``jax.grad``/``jax.vjp`` flow through this w.r.t. ``state.pos``,
-    ``state.vel``, and ``dt`` (the config is static — its constants are
-    not traced). Forward: the production contact kernel + an XLA mirror
+    ``state.vel``, ``dt``, and the traced physics parameters
+    ``k_contact`` / ``gravity`` / ``restitution`` (each defaults to the
+    static config value; pass a traced scalar to optimize it — the
+    system-ID use, see examples/inverse_granular.py). ``k_contact``'s
+    cotangent exploits linearity of the penalty force in ``k``; the
+    other two fall out of the integrate mirror's ``jax.vjp``. Forward:
+    the production contact kernel + an XLA mirror
     of the integrate phase per substep, on the frozen-window schedule.
     Backward (per rebuild segment, reverse order): re-run the segment
     storing per-substep (state, force), transpose integrate/wall with
@@ -537,8 +561,14 @@ def multi_step_diff(state: ParticleState, config: GranularConfig,
         raise ValueError("multi_step_diff does not support mxu modes")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    kc = config.k_contact if k_contact is None else k_contact
+    grav = config.gravity if gravity is None else gravity
+    e = config.restitution if restitution is None else restitution
     pos, vel = _diff_core(state.pos, state.vel,
-                          jnp.asarray(dt, jnp.float32), config, n_steps,
+                          jnp.asarray(dt, jnp.float32),
+                          jnp.asarray(kc, jnp.float32),
+                          jnp.asarray(grav, jnp.float32),
+                          jnp.asarray(e, jnp.float32), config, n_steps,
                           interpret)
     return ParticleState(pos=pos, vel=vel)
 
