@@ -386,6 +386,165 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
     return (state, dmax) if return_stats else state
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _frozen_self_contact(meta, posc, cidf, off, md, kc):
+    """Pair contact forces on padded SORTED positions with a FROZEN
+    broad-phase structure — the production slab-DMA kernel
+    (``granular_pallas.contact_forces_sorted``, thin CIV mode) wrapped in
+    a ``custom_vjp`` so the self-collision path differentiates.
+
+    Backward: the pair force field is the negative gradient of a pair
+    potential and the CIV candidate relation is symmetric, so the
+    Jacobian w.r.t. positions is symmetric and ``Jᵀf̄`` is the JVP kernel
+    (``contact_force_jvp_sorted``) applied with ``u = f̄``. Parameter
+    cotangents come for free:
+
+    - ``kc``: the force is linear in it — ``k̄c = ⟨f̄, f⟩ / kc``;
+    - ``md``: ``f`` is jointly homogeneous of degree 1 in (positions,
+      min_dist) (``w = kc·(md/‖d‖ − 1)`` is degree 0, the direction ``d``
+      degree 1), so Euler's identity gives ``md·∂f/∂md = f − J·p`` and
+      ``m̄d = (⟨f̄, f⟩ − ⟨Jᵀf̄, p⟩) / md`` — no extra kernel launch.
+
+    Structure inputs (``cidf``, ``off``) are discrete: zero cotangents.
+    Requires zero dropped slab entries (asymmetric drops break the
+    ``Jᵀ = J`` pairing) — assert via the production path's
+    ``return_stats`` before training.
+    """
+    f, _ = _frozen_self_contact_fwd(meta, posc, cidf, off, md, kc)
+    return f
+
+
+def _frozen_self_contact_fwd(meta, posc, cidf, off, md, kc):
+    from ..ops import granular_pallas
+
+    block, slab, n, interpret, civ = meta
+    pos4 = jnp.concatenate([posc.T, cidf[None, :]])
+    f = granular_pallas.contact_forces_sorted(
+        pos4, posc, cidf[:, None], off, md, kc, block=block, slab=slab,
+        n_real=n, interpret=interpret, thin=True, civ=civ)
+    return f, (posc, cidf, off, f, md, kc)
+
+
+def _frozen_self_contact_bwd(meta, res, fbar):
+    from ..ops import granular_pallas
+
+    block, slab, n, interpret, civ = meta
+    posc, cidf, off, f, md, kc = res
+    n_pad = posc.shape[0]
+    pos8 = jnp.concatenate([posc.T, fbar.T, cidf[None, :],
+                            jnp.zeros((1, n_pad), jnp.float32)])
+    pu = jnp.concatenate([posc, fbar], axis=1)
+    ft = granular_pallas.contact_force_jvp_sorted(
+        pos8, pu, cidf[:, None], off, md, kc, block=block, slab=slab,
+        n_real=n, interpret=interpret, civ=civ)
+    posbar = ft[:, 3:]
+    # pad rows: fbar is zero there and pads touch nothing, so restrict
+    # the scalar reductions to real rows (pad positions sit at 1e6)
+    ff = jnp.sum(fbar[:n] * f[:n])
+    fjp = jnp.sum(posbar[:n] * posc[:n])
+    kcbar = jnp.where(kc != 0.0, ff / jnp.where(kc != 0.0, kc, 1.0), 0.0)
+    mdbar = jnp.where(md != 0.0, (ff - fjp) / jnp.where(md != 0.0, md, 1.0),
+                      0.0)
+    import numpy as np
+    off_bar = np.zeros(off.shape, dtype=jax.dtypes.float0)  # int32 primal
+    return posbar, jnp.zeros_like(cidf), off_bar, mdbar, kcbar
+
+
+_frozen_self_contact.defvjp(_frozen_self_contact_fwd,
+                            _frozen_self_contact_bwd)
+
+
+def _sc_diff_segment(state: ClothState, params: ClothParams,
+                     dt: jnp.ndarray, length: int, grid_spec,
+                     block: int, slab: int, interpret: bool) -> ClothState:
+    """One frozen rebuild segment of the differentiable self-collision
+    path: broad-phase structures from ``stop_gradient`` (discrete,
+    locally constant), then ``length`` substeps of (kernel contact force
+    via :func:`_frozen_self_contact` → XLA springs + integrate + pins).
+    Each substep is ``jax.checkpoint``-ed so backward memory is one
+    substep's activations."""
+    from . import broadphase
+    from ..ops import granular_pallas
+
+    h, w = state.pos.shape[-2:]
+    n = h * w
+    frozen = jax.lax.stop_gradient(state.pos.reshape(3, n))
+    origin = jnp.min(frozen, axis=1) - grid_spec.cell_size
+    grid = broadphase.build_sorted_grid(
+        frozen, jnp.zeros_like(frozen), grid_spec, origin)
+    n_pad = -(-max(n, slab) // block) * block
+    civ = granular_pallas.civ_bounds(grid_spec, thin=True)
+    cidf, off, _ = granular_pallas.build_offsets_civ(
+        grid, grid_spec, block, slab, n_pad, thin=True)
+    order = grid.order
+    inv = jnp.argsort(order, stable=True)
+    pad = n_pad - n
+    meta = (block, slab, n, interpret, civ)
+
+    @jax.checkpoint
+    def sub(s, md, kc):
+        sp = s.pos.reshape(3, n)[:, order]
+        posc = jnp.pad(sp.T, ((0, pad), (0, 0)), constant_values=1e6)
+        f_sorted = _frozen_self_contact(meta, posc, cidf, off, md, kc)
+        f_self = f_sorted[:n].T[:, inv].reshape(3, h, w)
+        force = spring_forces(s.pos, s.vel, params) + f_self
+        pos, vel = integrate(s.pos, s.vel, force, params, dt)
+        if s.pin_mask is not None:
+            pin = s.pin_mask[None]
+            pos = jnp.where(pin, s.pin_pos, pos)
+            vel = jnp.where(pin, 0.0, vel)
+        return s._replace(pos=pos, vel=vel)
+
+    md = 2.0 * params.particle_radius
+    kc = params.k_contact
+    out, _ = jax.lax.scan(lambda s, _: (sub(s, md, kc), None), state,
+                          None, length=length)
+    return out
+
+
+def multi_step_self_collide_diff(state: ClothState, params: ClothParams,
+                                 dt: jnp.ndarray, n_steps: int, grid_spec,
+                                 rebuild_every: int = 8,
+                                 pallas_block: int = 256,
+                                 pallas_slab: Optional[int] = None,
+                                 interpret: Optional[bool] = None
+                                 ) -> ClothState:
+    """Differentiable :func:`multi_step_self_collide` (frozen-window
+    schedule, contact narrow-phase on the slab-DMA kernel).
+
+    ``jax.grad`` flows w.r.t. ``state.pos/vel/pin_pos``, every
+    ``ClothParams`` leaf (including ``k_contact`` and ``particle_radius``
+    THROUGH the self-contact kernel — see :func:`_frozen_self_contact`
+    for the linearity/homogeneity identities the backward uses), and
+    ``dt``. Springs + integrate stay on the differentiable XLA stencil
+    path (the ``use_spring_kernel=False`` production variant); the
+    contact force and its transpose run as slab-DMA Pallas kernels.
+
+    Same contracts as the production path: the Verlet skin invariant
+    between rebuilds, zero dropped slab entries (verify with the
+    production path's ``return_stats`` — drops break the symmetric-
+    Jacobian pairing the backward relies on), and piecewise (almost-
+    everywhere) differentiability across contact activations.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if pallas_slab is None:
+        pallas_slab = max(640, (5 * pallas_block // 2 + 127) // 128 * 128)
+    k = max(1, rebuild_every)
+    n_full, rem = divmod(n_steps, k)
+
+    def seg(s, _):
+        return _sc_diff_segment(s, params, dt, k, grid_spec, pallas_block,
+                                pallas_slab, interpret), None
+
+    if n_full:
+        state, _ = jax.lax.scan(seg, state, None, length=n_full)
+    if rem:
+        state = _sc_diff_segment(state, params, dt, rem, grid_spec,
+                                 pallas_block, pallas_slab, interpret)
+    return state
+
+
 def default_self_collision_grid(config, pad: float = 1.5,
                                 skin: float = 0.0):
     """GridSpec for cloth self-collision: cell ≈ the contact diameter
