@@ -60,6 +60,58 @@ def test_sharded_matches_xla_multi_rebuild(devices8):
                                atol=1e-3, rtol=0)
 
 
+def test_diff_sharded_gradients_match_serial(devices8):
+    """Worlds-DP differentiable path: the gradient of a summed loss over
+    8 sharded worlds equals the sum of per-world single-device gradients
+    — state cotangents shard-local, traced-scalar cotangents psum'd by
+    shard_map's transpose (the DP all-reduce)."""
+    from wgpu_physics_engine_tpu.core.state import ParticleState
+
+    cfg = _cfg(256, grid_capacity=16)
+    n_worlds = 8
+    m = pmesh.make_mesh((8,), ("worlds",), devices8)
+    dt = jnp.float32(1 / 240)
+    settle = jax.jit(lambda s: granular.multi_step(s, cfg, dt, 30))
+    worlds = []
+    for i in range(n_worlds):
+        s = settle(granular.init_state(cfg, jax.random.key(i)))
+        worlds.append(ParticleState(pos=s.pos, vel=s.vel * 8.0))  # hot
+    batched = ParticleState(pos=jnp.stack([s.pos for s in worlds]),
+                            vel=jnp.stack([s.vel for s in worlds]))
+    wp = jax.random.normal(jax.random.PRNGKey(3), batched.pos.shape)
+    wv = jax.random.normal(jax.random.PRNGKey(4), batched.vel.shape)
+    kc = jnp.float32(cfg.k_contact)
+    grav = jnp.float32(cfg.gravity)
+    e = jnp.float32(cfg.restitution)
+    n_steps = 5   # one full rebuild segment + a remainder
+
+    def loss_sharded(dt, kc, grav, e):
+        out = granular_mesh.multi_step_diff_sharded(
+            batched, cfg, dt, n_steps, m, k_contact=kc, gravity=grav,
+            restitution=e)
+        return jnp.sum(out.pos * wp) + jnp.sum(out.vel * wv)
+
+    def loss_serial(dt, kc, grav, e):
+        tot = 0.0
+        for i, s in enumerate(worlds):
+            out = granular.multi_step_diff(s, cfg, dt, n_steps,
+                                           k_contact=kc, gravity=grav,
+                                           restitution=e)
+            tot += (jnp.sum(out.pos * wp[i]) + jnp.sum(out.vel * wv[i]))
+        return tot
+
+    v1, g1 = jax.jit(jax.value_and_grad(
+        loss_sharded, argnums=(0, 1, 2, 3)))(dt, kc, grav, e)
+    v2, g2 = jax.jit(jax.value_and_grad(
+        loss_serial, argnums=(0, 1, 2, 3)))(dt, kc, grav, e)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for name, a, b in zip(("dt", "kc", "grav", "e"), g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(abs(b), 1e-30)
+        assert abs(a - b) / scale < 1e-5, name
+        assert abs(a) > 0.0, name
+
+
 def test_sharded_rejects_bad_shapes(devices8):
     m = pmesh.make_mesh((4,), ("grains",), devices8[:4])
     cfg = _cfg(1026)                       # not divisible by 4

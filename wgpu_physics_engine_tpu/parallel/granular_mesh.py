@@ -34,7 +34,9 @@ bitwise when the pad coincides.
 
 The reference has no multi-GPU story (SURVEY §2); this extends the
 BASELINE configs[2] workload across chips the way mesh.py extends
-configs[1].
+configs[1]. :func:`multi_step_diff_sharded` adds the worlds-DP
+composition of the differentiable path (distributed granular
+system-ID / training).
 """
 
 from __future__ import annotations
@@ -50,6 +52,64 @@ from ..core.state import ParticleState
 from ..models import broadphase
 from ..models.granular import GranularConfig
 from ..ops import granular_pallas
+
+
+def multi_step_diff_sharded(state: ParticleState, config: GranularConfig,
+                            dt, n_steps: int, mesh: Mesh,
+                            axis: str = "worlds",
+                            k_contact=None, gravity=None, restitution=None,
+                            interpret: Optional[bool] = None
+                            ) -> ParticleState:
+    """Batched DIFFERENTIABLE granular stepping, worlds-data-parallel
+    over ``mesh[axis]`` — the distributed-training composition of
+    :func:`~wgpu_physics_engine_tpu.models.granular.multi_step_diff`.
+
+    ``state.pos``/``state.vel`` are ``[W, 3, N]`` with the worlds axis
+    sharded (``W % mesh.shape[axis] == 0``). Each device steps its local
+    worlds serially via ``lax.map`` (scan, NOT vmap — the slab kernels
+    never see a batch dim), so every per-world program is exactly the
+    single-chip differentiable path.
+
+    Gradients flow w.r.t. the batched state, ``dt``, and the traced
+    physics scalars ``k_contact`` / ``gravity`` / ``restitution`` (each
+    defaults to the config constant). The scalars enter the shard_map as
+    REPLICATED operands, so their cotangents are ``psum``-ed across the
+    mesh by shard_map's transpose — the DP gradient all-reduce falls out
+    of the sharding (the parallel/mesh.py training-path design). Jit the
+    surrounding loss; this function stays un-jitted so it composes under
+    ``jax.grad``/``jax.value_and_grad`` without re-tracing games.
+    """
+    from ..models import granular
+
+    num_d = mesh.shape[axis]
+    n_worlds = state.pos.shape[0]
+    if n_worlds % num_d:
+        raise ValueError(
+            f"W={n_worlds} worlds not divisible by {num_d} devices")
+    kc = config.k_contact if k_contact is None else k_contact
+    grav = config.gravity if gravity is None else gravity
+    e = config.restitution if restitution is None else restitution
+
+    def body(pos, vel, dt, kc, grav, e):
+        def one(pv):
+            p, v = pv
+            out = granular.multi_step_diff(
+                ParticleState(pos=p, vel=v), config, dt, n_steps,
+                interpret=interpret, k_contact=kc, gravity=grav,
+                restitution=e)
+            return out.pos, out.vel
+
+        return jax.lax.map(one, (pos, vel))
+
+    pspec = P(axis)
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(pspec, pspec, P(), P(), P(), P()),
+                  out_specs=(pspec, pspec), check_vma=False)
+    pos, vel = f(state.pos, state.vel, jnp.asarray(dt, jnp.float32),
+                 jnp.asarray(kc, jnp.float32),
+                 jnp.asarray(grav, jnp.float32),
+                 jnp.asarray(e, jnp.float32))
+    return ParticleState(pos=pos, vel=vel)
 
 
 def multi_step_sharded(state: ParticleState, config: GranularConfig,
