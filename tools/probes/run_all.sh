@@ -27,4 +27,6 @@ run probe_dg3 probe_dg3
 run probe_grad probe_grad
 # fallback datapoint if the 256^2 transpose kernel OOMs VMEM
 run probe_grad probe_grad128 128
+# session-5 diff paths (granular 1M + self-collide 256^2 grad rates)
+run probe_grad2 probe_grad2
 echo "ALL PROBES DONE $(date)"
