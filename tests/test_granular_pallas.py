@@ -470,3 +470,34 @@ def test_civ_fast_indicator_phantom_overreport_documented():
         + [371] * 128 + [375] * 128 + [384] * 128 + [401] * 128)
     assert exact == 0
     assert fast > 0          # the documented over-report
+
+
+def test_traced_params_match_static():
+    """k_contact/gravity/restitution passed as traced scalars ride the
+    kernel's params vector: BITWISE equal to the static-config path on
+    both backends, and actually live (different materials -> different
+    physics) with zero recompiles."""
+    cfg = granular.GranularConfig(
+        num_particles=500, bounds=2.0, radius=0.08, restitution=0.4,
+        rebuild_every=4, pallas_block=128, pallas_slab=512)
+    state = granular.init_state(cfg, jax.random.PRNGKey(0))
+    dt = jnp.float32(1 / 240)
+    kc = jnp.float32(cfg.k_contact)
+    g = jnp.float32(cfg.gravity)
+    e = jnp.float32(cfg.restitution)
+    for backend in ("pallas", "xla"):
+        a = granular.multi_step(state, cfg, dt, 6, backend=backend)
+        b = granular.multi_step(state, cfg, dt, 6, backend=backend,
+                                k_contact=kc, gravity=g, restitution=e)
+        np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos),
+                                      err_msg=backend)
+        np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel),
+                                      err_msg=backend)
+    n0 = granular.multi_step._cache_size()
+    c = granular.multi_step(state, cfg, dt, 6, backend="pallas",
+                            k_contact=2.0 * kc, gravity=0.5 * g,
+                            restitution=e)
+    assert granular.multi_step._cache_size() == n0  # material = operand
+    assert not np.array_equal(np.asarray(c.pos),
+                              np.asarray(granular.multi_step(
+                                  state, cfg, dt, 6, backend="pallas").pos))

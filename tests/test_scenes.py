@@ -229,3 +229,26 @@ def test_cloth_scene_self_collide():
     assert np.isfinite(np.asarray(s.state.pos)).all()
     img = s.render(60, 90)
     assert np.isfinite(img).all()
+
+
+def test_granular_scene_material_sliders_no_retrace():
+    """GranularScene material setters are zero-retrace (traced kernel
+    params vector), and reconfigure() redirects material keys there."""
+    from wgpu_physics_engine_tpu.models import granular, scenes as sc
+
+    s = sc.GranularScene(config=granular.GranularConfig(
+        num_particles=400, rebuild_every=4, pallas_block=128,
+        pallas_slab=256, grid_capacity=16))
+    s.update(1.0 / 60.0)
+    n0 = granular.multi_step._cache_size()
+    s.set_gravity(-3.0)
+    s.set_k_contact(900.0)
+    s.set_restitution(0.8)
+    s.update(1.0 / 60.0)
+    assert granular.multi_step._cache_size() == n0
+    cfg0 = s.config
+    s.reconfigure(gravity=-2.0, k_contact=500.0)
+    assert s.config is cfg0                      # static config untouched
+    assert float(s.gravity) == -2.0 and float(s.k_contact) == 500.0
+    s.update(1.0 / 60.0)
+    assert granular.multi_step._cache_size() == n0

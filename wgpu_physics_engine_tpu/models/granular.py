@@ -141,10 +141,11 @@ def init_state(config: GranularConfig, key: jax.Array) -> ParticleState:
 
 
 def _wall_response(pos: jnp.ndarray, vel: jnp.ndarray,
-                   config: GranularConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   config: GranularConfig, e=None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ground plane + walls: clamp & reflect with restitution."""
     limit = jnp.float32(config.bounds - config.radius)
-    e = jnp.float32(config.restitution)
+    e = jnp.float32(config.restitution) if e is None else e
     hit_low = (pos < -limit) & (vel < 0.0)
     hit_high = (pos > limit) & (vel > 0.0)
     vel = jnp.where(hit_low | hit_high, -e * vel, vel)
@@ -153,24 +154,29 @@ def _wall_response(pos: jnp.ndarray, vel: jnp.ndarray,
 
 
 def substep(state: ParticleState, config: GranularConfig,
-            dt: jnp.ndarray, return_stats: bool = False):
+            dt: jnp.ndarray, return_stats: bool = False,
+            kc=None, grav=None, e=None):
     """One step with per-step grid rebuild: grid → pair contact forces →
     gravity → integrate → ground/wall response with restitution.
 
     With ``return_stats=True`` also returns the dropped-candidate count
-    from the windowed broad-phase (telemetry for silent contact loss)."""
+    from the windowed broad-phase (telemetry for silent contact loss).
+    ``kc``/``grav``/``e`` optionally override the config constants as
+    traced scalars (see :func:`multi_step`)."""
     spec = config.grid_spec()
     # scatter-free sorted-window broad-phase (TPU scatters serialize; see
     # broadphase.SortedGrid)
     grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
     force, dropped = broadphase.pair_forces_sorted(
-        grid, spec, config.radius, config.k_contact,
+        grid, spec, config.radius,
+        config.k_contact if kc is None else kc,
         window=config.window, return_stats=True)
-    force = force.at[1].add(jnp.float32(config.gravity))   # unit mass
+    force = force.at[1].add(jnp.float32(config.gravity) if grav is None
+                            else grav)                     # unit mass
 
     vel = state.vel + force * dt
     pos = state.pos + vel * dt
-    pos, vel = _wall_response(pos, vel, config)
+    pos, vel = _wall_response(pos, vel, config, e)
     new = ParticleState(pos=pos, vel=vel)
     if return_stats:
         return new, dropped
@@ -179,30 +185,34 @@ def substep(state: ParticleState, config: GranularConfig,
 
 def _frozen_substep(pos: jnp.ndarray, vel: jnp.ndarray, idx: jnp.ndarray,
                     mask: jnp.ndarray, config: GranularConfig,
-                    dt: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    dt: jnp.ndarray, kc=None, grav=None, e=None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One substep against a frozen candidate list (sorted order).
 
     ``idx``/``mask`` are loop-invariant across the inner scan — XLA hoists
     the index tensor and the gather runs at data-rate instead of paying
     per-step index generation (the round-1 bottleneck)."""
     min_dist = 2.0 * jnp.float32(config.radius)
+    kc = jnp.float32(config.k_contact) if kc is None else kc
+    grav = jnp.float32(config.gravity) if grav is None else grav
     cpos = pos[:, idx]                                   # [3, N, M]
     d = pos[:, :, None] - cpos
     dist = broadphase._safe_norm(jnp.sum(d * d, axis=0))
     touching = mask & (dist < min_dist) & (dist > 1e-6)
     inv = 1.0 / jnp.where(dist > 1e-6, dist, 1.0)
     f = jnp.where(touching[None],
-                  (jnp.float32(config.k_contact) * (min_dist - dist) * inv)[None] * d,
+                  (kc * (min_dist - dist) * inv)[None] * d,
                   0.0)
     force = jnp.sum(f, axis=2)
-    force = force.at[1].add(jnp.float32(config.gravity))
+    force = force.at[1].add(grav)
     vel = vel + force * dt
     pos = pos + vel * dt
-    return _wall_response(pos, vel, config)
+    return _wall_response(pos, vel, config, e)
 
 
 def _run_block(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
-               length: int) -> Tuple[ParticleState, jnp.ndarray]:
+               length: int, kc=None, grav=None, e=None
+               ) -> Tuple[ParticleState, jnp.ndarray]:
     """Rebuild the frozen candidate list, run ``length`` substeps on it,
     return state in ORIGINAL particle order + dropped-candidate count."""
     spec = config.grid_spec()
@@ -211,7 +221,8 @@ def _run_block(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
         grid, spec, config.query_radius, config.window, config.max_neighbors)
 
     def inner(c, _):
-        return _frozen_substep(c[0], c[1], idx, mask, config, dt), None
+        return _frozen_substep(c[0], c[1], idx, mask, config, dt,
+                               kc, grav, e), None
 
     (pos, vel), _ = jax.lax.scan(
         inner, (grid.sorted_pos, grid.sorted_vel), None, length=length)
@@ -221,7 +232,8 @@ def _run_block(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
 
 def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
                       config: GranularConfig, dt: jnp.ndarray, length: int,
-                      interpret: bool, stats: bool = False):
+                      interpret: bool, stats: bool = False,
+                      kc=None, grav=None, e=None):
     """Frozen-window rebuild + ``length`` substeps via the slab-DMA Pallas
     kernel (ops/granular_pallas.py). Same contract as :func:`_run_block`
     but windows are consumed as ranges (no ``[N, M]`` compaction, no
@@ -280,9 +292,11 @@ def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
                    constant_values=4.0 * config.bounds)
     velc = jnp.pad(grid.sorted_vel.T, ((0, pad), (0, 0)))
     pvec = jnp.stack([
-        2.0 * jnp.float32(config.radius), jnp.float32(config.k_contact),
-        jnp.float32(config.gravity), jnp.float32(dt),
-        jnp.float32(config.restitution),
+        2.0 * jnp.float32(config.radius),
+        jnp.float32(config.k_contact) if kc is None else kc,
+        jnp.float32(config.gravity) if grav is None else grav,
+        jnp.float32(dt),
+        jnp.float32(config.restitution) if e is None else e,
         jnp.float32(config.bounds - config.radius),
     ]).astype(jnp.float32)
 
@@ -579,7 +593,8 @@ def multi_step_diff(state: ParticleState, config: GranularConfig,
 def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
                n_steps: int, return_stats: bool = False,
                backend: Optional[str] = None,
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None,
+               k_contact=None, gravity=None, restitution=None):
     """``n_steps`` substeps. ``rebuild_every>1`` uses the frozen Verlet-list
     schedule; ``rebuild_every=1`` rebuilds the broad-phase each substep.
 
@@ -590,6 +605,14 @@ def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
     the kernel in Pallas interpret mode (defaults to True off-TPU, for
     tests).
 
+    ``k_contact`` / ``gravity`` / ``restitution`` optionally override the
+    config constants as TRACED scalars — they ride the kernel's params
+    vector, so material changes cost zero recompiles (the egui-slider
+    analog of the reference's hardcoded WGSL constants, and the per-world
+    material knob for batched datagen). ``radius``/grid geometry stay
+    static (they shape the broad-phase). Bitwise-identical to the static
+    path when passed the config values.
+
     With ``return_stats=True`` returns ``(state, dropped_max)`` where
     ``dropped_max`` is the worst per-rebuild dropped-candidate count —
     nonzero means the broad-phase capacities (``window``/``max_neighbors``
@@ -599,6 +622,7 @@ def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    kc, grav, e = k_contact, gravity, restitution
     k = max(1, config.rebuild_every)
     if backend == "pallas":
         n_outer, rem = divmod(n_steps, k)
@@ -607,7 +631,8 @@ def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
         def outer(carry, _):
             pos, vel, ordc, dmax = carry
             pos, vel, order_step, d = _run_block_pallas(
-                pos, vel, config, dt, k, interpret, stats=return_stats)
+                pos, vel, config, dt, k, interpret, stats=return_stats,
+                kc=kc, grav=grav, e=e)
             # compose: original index of new slot s is ordc[order_step[s]]
             return (pos, vel, ordc[order_step],
                     jnp.maximum(dmax, d)), None
@@ -619,7 +644,7 @@ def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
         if rem:
             pos, vel, order_step, d = _run_block_pallas(
                 carry[0], carry[1], config, dt, rem, interpret,
-                stats=return_stats)
+                stats=return_stats, kc=kc, grav=grav, e=e)
             carry = (pos, vel, carry[2][order_step],
                      jnp.maximum(carry[3], d))
         pos, vel, ordc, dmax = carry
@@ -629,7 +654,8 @@ def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
     if k == 1:
         def body(carry, _):
             s, dmax = carry
-            s, d = substep(s, config, dt, return_stats=True)
+            s, d = substep(s, config, dt, return_stats=True,
+                           kc=kc, grav=grav, e=e)
             return (s, jnp.maximum(dmax, d)), None
 
         (out, dmax), _ = jax.lax.scan(body, (state, jnp.int32(0)), None,
@@ -640,7 +666,7 @@ def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
 
     def outer(carry, _):
         s, dmax = carry
-        s, d = _run_block(s, config, dt, k)
+        s, d = _run_block(s, config, dt, k, kc, grav, e)
         return (s, jnp.maximum(dmax, d)), None
 
     dmax = jnp.int32(0)
@@ -648,6 +674,6 @@ def multi_step(state: ParticleState, config: GranularConfig, dt: jnp.ndarray,
         (state, dmax), _ = jax.lax.scan(outer, (state, dmax), None,
                                         length=n_outer)
     if rem:
-        state, d = _run_block(state, config, dt, rem)
+        state, d = _run_block(state, config, dt, rem, kc, grav, e)
         dmax = jnp.maximum(dmax, d)
     return (state, dmax) if return_stats else state

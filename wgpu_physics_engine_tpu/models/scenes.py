@@ -333,10 +333,12 @@ class GranularScene(_SceneBase):
     — the reference's integrator has no interactions at all, see
     /root/reference/simulations/4_instances_imgui/compute_movement.wgsl:36-105).
 
-    Physics parameters live in the static :class:`granular.GranularConfig`
-    (they shape the broad-phase grid, so changing them recompiles — use
-    :meth:`reconfigure`); ``time_scale`` is runtime-free like the other
-    scenes."""
+    Geometry-shaping parameters live in the static
+    :class:`granular.GranularConfig` (radius/bounds shape the broad-phase
+    grid, so changing them recompiles — use :meth:`reconfigure`); the
+    MATERIAL constants (``k_contact``/``gravity``/``restitution``) are
+    runtime traced scalars riding the kernel's params vector, so their
+    setters are zero-retrace like every other scene's sliders."""
 
     def __init__(self, config=None,
                  camera_cfg=None, light=cfg.LightConfig(),
@@ -350,6 +352,9 @@ class GranularScene(_SceneBase):
         super().__init__(camera_cfg, light, aspect)
         self.config = config
         self.state = granular.init_state(config, jax.random.key(seed))
+        self.k_contact = jnp.float32(config.k_contact)
+        self.gravity = jnp.float32(config.gravity)
+        self.restitution = jnp.float32(config.restitution)
         self.time_scale = 1.0
         self.hz = 240.0
         self.max_substeps = 8         # clamp like cloth.frame_substeps —
@@ -357,17 +362,44 @@ class GranularScene(_SceneBase):
         # count would recompile every frame (30-60 s each on axon)
         self.dropped = 0              # broad-phase overflow telemetry
 
+    # --- egui sliders (zero-retrace: traced kernel params vector) ---
+    def set_gravity(self, g: float) -> None:
+        self.gravity = jnp.float32(g)
+
+    def set_k_contact(self, k: float) -> None:
+        self.k_contact = jnp.float32(k)
+
+    def set_restitution(self, e: float) -> None:
+        self.restitution = jnp.float32(e)
+
+    @property
+    def params(self):
+        """Viewer-facing material view (handle_key reads .gravity)."""
+        import types
+
+        return types.SimpleNamespace(gravity=self.gravity,
+                                     k_contact=self.k_contact,
+                                     restitution=self.restitution)
+
     def set_time_scale(self, s: float) -> None:
         self.time_scale = s
 
     def reconfigure(self, **changes) -> None:
-        """Replace static physics config (recompiles; resets nothing)."""
-        self.config = dataclasses.replace(self.config, **changes)
+        """Replace static physics config (recompiles; resets nothing).
+        Material keys are redirected to the traced runtime scalars."""
+        for key, setter in (("k_contact", self.set_k_contact),
+                            ("gravity", self.set_gravity),
+                            ("restitution", self.set_restitution)):
+            if key in changes:
+                setter(changes.pop(key))
+        if changes:
+            self.config = dataclasses.replace(self.config, **changes)
 
     def _advance(self, n: int) -> None:
         self.state, d = self._granular.multi_step(
             self.state, self.config, jnp.float32(1.0 / self.hz), n,
-            return_stats=True)
+            return_stats=True, k_contact=self.k_contact,
+            gravity=self.gravity, restitution=self.restitution)
         self.dropped = max(self.dropped, int(d))
 
     def update(self, delta_time: Optional[float] = None) -> None:
