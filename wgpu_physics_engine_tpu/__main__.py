@@ -9,6 +9,7 @@ artifacts, or benchmark.
     python -m wgpu_physics_engine_tpu granular    --particles 100000 --gif pile.gif
     python -m wgpu_physics_engine_tpu cloth       --seconds 5 --gif cloth.gif
     python -m wgpu_physics_engine_tpu datagen     --worlds 64 --frames 8
+    python -m wgpu_physics_engine_tpu datagen     --family granular --worlds 32
 """
 
 from __future__ import annotations
@@ -39,6 +40,10 @@ def main(argv=None) -> int:
                    help="cloth: enable cloth-cloth contact (spatial hash)")
     p.add_argument("--worlds", type=int, default=64)
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--family", choices=["cloth", "granular"],
+                   default="cloth",
+                   help="datagen: model family (granular = per-world "
+                        "material constants via the traced params vector)")
     p.add_argument("--outdir", default="datagen_out")
     p.add_argument("--random-cameras", action="store_true",
                    help="datagen: randomize viewpoint per world")
@@ -140,14 +145,27 @@ def main(argv=None) -> int:
         from .parallel import datagen
         from . import native
 
-        c = cfg.ClothConfig() if args.grid is None else cfg.ClothConfig(
-            height=args.grid, width=args.grid)
         quality = args.quality if args.quality is not None else 1.0
-        gen = datagen.generate_trajectory_dataset(
-            c, n_worlds=args.worlds, n_frames=args.frames, steps_per_frame=24,
-            key=jax.random.key(0), fb_size=tuple(args.size),
-            randomize_cameras=args.random_cameras, codec_k=args.codec_k,
-            codec_quality=quality)
+        if args.family == "granular":
+            from .models.granular import GranularConfig
+            from .parallel import datagen_granular
+
+            gc = GranularConfig(num_particles=args.particles or 20_000)
+            gen = datagen_granular.generate_granular_dataset(
+                gc, n_worlds=args.worlds, n_frames=args.frames,
+                steps_per_frame=12, key=jax.random.key(0),
+                fb_size=tuple(args.size),
+                randomize_cameras=args.random_cameras,
+                codec_k=args.codec_k, codec_quality=quality)
+        else:
+            c = cfg.ClothConfig() if args.grid is None else cfg.ClothConfig(
+                height=args.grid, width=args.grid)
+            gen = datagen.generate_trajectory_dataset(
+                c, n_worlds=args.worlds, n_frames=args.frames,
+                steps_per_frame=24, key=jax.random.key(0),
+                fb_size=tuple(args.size),
+                randomize_cameras=args.random_cameras, codec_k=args.codec_k,
+                codec_quality=quality)
         os.makedirs(args.outdir, exist_ok=True)
         if args.codec_k is not None:
             from .parallel import codec
