@@ -103,9 +103,16 @@ def _child_granular(n: int = 1_000_000, n_steps: int = 64) -> dict:
     """Secondary metric: end-to-end 1M-particle granular contact
     (BASELINE configs[2] extension), slab-DMA Pallas kernel. Tuned
     schedule: rebuild-every-16 frozen windows (Verlet skin documented in
-    GranularConfig) + slab 256 — the fastest drop-telemetry-comparable
-    configuration measured in round 3 (defaults stay at the
-    conservative K=8/s384)."""
+    GranularConfig) + THIN 3-group CIV with slab 640 — 3.70e7 p-steps/s
+    vs 2.66e7 for the 9-group s256 config (tools/probes/probe_thin.py,
+    Aug 19): one merged contiguous slab per dx replaces the 3 per-(dx,dy)
+    slabs, 1/3 the DMA issues. Zero dropped window entries at s640 (s512
+    also zero but 24% slower — narrower slabs fire the B-pass more);
+    thin-vs-base deviation is bitwise ZERO over one rebuild block and
+    chaotic-saturation-scale over 512 substeps (pair-sum reassociation
+    only — same contract as changing slab width). mxu modes measured
+    fidelity-broken (SC maxdev 43.5 vs the 0.16 floor) and are NOT used.
+    Defaults stay at the conservative K=8/s384."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -113,7 +120,7 @@ def _child_granular(n: int = 1_000_000, n_steps: int = 64) -> dict:
     from wgpu_physics_engine_tpu.models import granular
 
     cfg = granular.GranularConfig(num_particles=n, rebuild_every=16,
-                                  pallas_slab=256)
+                                  pallas_slab=640, thin=True)
     state = granular.init_state(cfg, jax.random.PRNGKey(0))
     dt = jnp.float32(1 / 240)
     np.asarray(granular.multi_step(state, cfg, dt, n_steps).pos[:1, :1])

@@ -80,3 +80,64 @@ def test_fast_math_stays_within_fidelity_bar():
                                 fast_math=True)
     np.testing.assert_allclose(np.asarray(b.pos), np.asarray(a.pos),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_batched_worlds_kernel_bitwise_matches_per_world():
+    """The grid=(B,) batched-worlds kernel (one program per world,
+    per-world SMEM params row) must be BITWISE equal to stepping each
+    world through the single-world kernel — identical _substep_planes
+    expressions, only the launch packaging differs."""
+    c = cfg.ClothConfig(height=12, width=20)
+    base = init_cloth_state(c)
+    p1 = ClothParams.from_config(c)
+    b = 3
+    key = jax.random.key(2)
+    pos = jnp.broadcast_to(base.pos, (b,) + base.pos.shape)
+    pos = pos + 0.1 * jax.random.normal(key, pos.shape, jnp.float32)
+    vel = 0.3 * jax.random.normal(jax.random.key(3), pos.shape, jnp.float32)
+    params = jax.tree.map(lambda leaf: jnp.stack(
+        [leaf * (1.0 + 0.1 * i) for i in range(b)]), p1)
+    dt = jnp.float32(1 / 480)
+
+    batch = cloth.ClothState(pos=pos, vel=vel)
+    got = cloth_pallas._multi_step_batched(batch, params, dt, 25,
+                                           interpret=True, fast_math=False)
+    for i in range(b):
+        one = cloth_pallas.multi_step(
+            cloth.ClothState(pos=pos[i], vel=vel[i]),
+            jax.tree.map(lambda leaf: leaf[i], params), dt, 25,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.pos[i]),
+                                      np.asarray(one.pos))
+        np.testing.assert_array_equal(np.asarray(got.vel[i]),
+                                      np.asarray(one.vel))
+
+
+def test_batched_worlds_kernel_pins_and_dispatch():
+    """4-dim states route through the batched kernel (size under the
+    per-program budget) and batched pins hold their rows fixed."""
+    c = cfg.ClothConfig(height=10, width=16)
+    base = init_cloth_state(c)
+    b = 2
+    pin = np.zeros((10, 16), bool)
+    pin[0, :] = True
+    pos = jnp.broadcast_to(base.pos, (b,) + base.pos.shape)
+    pos = pos.at[1, 1].add(0.5)
+    vel = jnp.zeros_like(pos)
+    state = cloth.ClothState(
+        pos=pos, vel=vel,
+        pin_mask=jnp.broadcast_to(jnp.asarray(pin), (b, 10, 16)),
+        pin_pos=pos)
+    params = ClothParams.from_config(c)
+    dt = jnp.float32(1 / 480)
+
+    got = cloth_pallas.multi_step(state, params, dt, 30, interpret=True)
+    for i in range(b):
+        one = cloth_pallas.multi_step(
+            cloth.ClothState(pos=pos[i], vel=vel[i],
+                             pin_mask=jnp.asarray(pin), pin_pos=pos[i]),
+            params, dt, 30, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.pos[i]),
+                                      np.asarray(one.pos))
+    np.testing.assert_array_equal(
+        np.asarray(got.pos)[:, :, 0, :], np.asarray(pos)[:, :, 0, :])

@@ -590,16 +590,25 @@ def multi_step_diff(state: ClothState, params: ClothParams, dt: jnp.ndarray,
     segment-checkpointed custom_vjp design. Primal output is bit-identical
     to :func:`ops.cloth_pallas.multi_step` (exact mode).
 
-    Grids beyond the fused kernel's VMEM budget fall back to the XLA
+    Grids beyond the BACKWARD kernel's VMEM budget fall back to the XLA
     stencil path under ``jax.checkpoint`` segments (differentiable
     everywhere, at XLA rates). A capability the reference cannot express
     (its WGSL pipeline has no gradient story) — same surplus class as the
     parallel/datagen layers, SURVEY §5.
+
+    The grad kernel's budget is tighter than the forward kernel's
+    100k-particle limit: the reverse-walk kernel re-linearizes all 12
+    spring families per substep and its live set of [h, w] temporaries
+    OOMs scoped VMEM at 256² on v5e (40.9M vs the 16M limit — measured,
+    tools/probes/probe_grad.py), while 128² compiles and runs at
+    2.2e8 particle-steps/s ≈ 1.6× the XLA+checkpoint path. Hence the
+    kernel path caps at 128² (16,384 particles) and larger grids take
+    the XLA fallback.
     """
     from ..ops import cloth_pallas, cloth_pallas_grad
 
     h, w = state.pos.shape[-2:]
-    if h * w > cloth_pallas._VMEM_PARTICLE_LIMIT:
+    if h * w > cloth_pallas_grad._GRAD_VMEM_PARTICLE_LIMIT:
         seg_step = jax.checkpoint(lambda s: substep(s, params, dt))
         out, _ = jax.lax.scan(lambda s, _: (seg_step(s), None), state, None,
                               length=n_steps)

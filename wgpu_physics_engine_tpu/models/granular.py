@@ -422,7 +422,12 @@ def _diff_segment_bwd(pos0, vel0, config: GranularConfig, dt, kc, grav, e,
             pos4, posc, cidc, off, md, kc, block=block, slab=slab,
             n_real=n, interpret=interpret, thin=config.thin, civ=civ)
         out = _mirror_substep(posc, velc, f, config, dt, grav, e, alive)
-        return out, (posc, velc, f)
+        # Trace element stored as ONE [9, n_pad] plane stack: a stacked
+        # [L, n_pad, 3] layout tiles T(8,128) on (n_pad, 3) and pads the
+        # trailing 3 -> 128 (42.7x HBM expansion — 22.9 GB at 1M, K=16,
+        # the exact OOM probe_grad2 hit); [L, 9, n_pad] pads 9 -> 16
+        # only (~1.0 GB).
+        return out, jnp.concatenate([posc.T, velc.T, f.T])
 
     _, trace = jax.lax.scan(fw, (posc0, velc0), None, length=length)
 
@@ -434,7 +439,7 @@ def _diff_segment_bwd(pos0, vel0, config: GranularConfig, dt, kc, grav, e,
 
     def bw(c, xs):
         pbc, vbc, dtb, kcb, gb, eb = c
-        posc, velc, f = xs
+        posc, velc, f = xs[0:3].T, xs[3:6].T, xs[6:9].T
         _, vjp = jax.vjp(
             lambda pc, vc, ff, dtt, gg, ee: _mirror_substep(
                 pc, vc, ff, config, dtt, gg, ee, alive),

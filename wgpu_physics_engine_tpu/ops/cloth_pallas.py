@@ -292,6 +292,103 @@ def _default_interpret() -> bool:
 # (or shard spatially across chips, parallel/mesh.py).
 _VMEM_PARTICLE_LIMIT = 100_000
 
+# Per-program budget for the grid=(B,) batched-worlds kernel: smaller than
+# the single-world limit because Mosaic double-buffers the (1, 3, h, w)
+# in/out blocks across programs. 128x128 fits; the 60x60 datagen scene is
+# the target workload.
+_BATCHED_VMEM_PARTICLE_LIMIT = 32_768
+
+
+def _batched_kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
+                    pos_out, vel_out, *, h, w, n_steps, use_pins,
+                    fast_math=False):
+    """grid=(B,) variant of :func:`_kernel`: one program per WORLD, each
+    stepping its own (1, 3, h, w) state block ``n_steps`` substeps with
+    its own row of the full [B, _NP] SMEM params table, indexed by
+    program id (Mosaic rejects BLOCKED SMEM specs whose second-to-last
+    dim is neither 8-divisible nor full — so the whole table rides in
+    SMEM; at f32 it stays tiny, ~64 B/world). Per world this runs the IDENTICAL
+    ``_substep_planes`` expressions as the single-world kernel — bitwise
+    equal — while amortizing one kernel launch over the whole batch
+    (the per-world ``lax.map`` it replaces measured ~2.6 ms/world at
+    60x60x24 substeps on v5e: all launch+dispatch, ~100x the compute)."""
+    world = pl.program_id(0)
+    prm = lambda i: params_ref[world, i]
+    k = (prm(0), prm(1), prm(2))
+    c = (prm(3), prm(4), prm(5))
+    rest = (prm(6), prm(7), prm(8))
+    k_contact, mu, mass = prm(9), prm(10), prm(11)
+    gravity, damp_factor, min_dist, dt = prm(12), prm(13), prm(14), prm(15)
+
+    x, y, z = pos_ref[0, 0], pos_ref[0, 1], pos_ref[0, 2]
+    vx, vy, vz = vel_ref[0, 0], vel_ref[0, 1], vel_ref[0, 2]
+    pins = None
+    if use_pins:
+        pins = (pinm_ref[0] != 0.0, pinpos_ref[0, 0], pinpos_ref[0, 1],
+                pinpos_ref[0, 2])
+
+    masks = [_family_masks(h, w, dr, dc) for dr, dc, _ in _FAMILIES]
+    dist_inv = _fast_dist_inv if fast_math else _exact_dist_inv
+    scal = (k, c, rest, k_contact, mu, mass, gravity, damp_factor, min_dist,
+            dt)
+
+    def substep(_, carry):
+        return _substep_planes(carry, masks, scal, dist_inv, pins=pins)
+
+    x, y, z, vx, vy, vz = jax.lax.fori_loop(
+        0, n_steps, substep, (x, y, z, vx, vy, vz))
+
+    pos_out[0, 0], pos_out[0, 1], pos_out[0, 2] = x, y, z
+    vel_out[0, 0], vel_out[0, 1], vel_out[0, 2] = vx, vy, vz
+
+
+def _multi_step_batched(state: ClothState, params: ClothParams,
+                        dt: jnp.ndarray, n_steps: int, interpret: bool,
+                        fast_math: bool) -> ClothState:
+    """Batched-worlds fused stepping: ONE kernel launch for all B worlds
+    (see :func:`_batched_kernel`). ``state.pos`` is [B, 3, h, w]; params
+    leaves are [B] or scalar; pins, if present, are batched alongside."""
+    b = state.pos.shape[0]
+    h, w = state.pos.shape[-2:]
+    use_pins = state.pin_mask is not None
+
+    bparams = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(jnp.asarray(leaf, jnp.float32), (b,)),
+        params)
+    pvec = jax.vmap(lambda p: _pack_params(p, dt))(bparams)   # [B, _NP]
+
+    if use_pins:
+        pinm = state.pin_mask.astype(jnp.float32)             # [B, h, w]
+        pinpos = state.pin_pos                                # [B, 3, h, w]
+        pin_specs = [pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                     pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0))]
+    else:
+        pinm = jnp.zeros((1, 1, 1), jnp.float32)
+        pinpos = jnp.zeros((1, 3, 1, 1), jnp.float32)
+        pin_specs = [pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)),
+                     pl.BlockSpec((1, 3, 1, 1), lambda i: (0, 0, 0, 0))]
+
+    kernel = functools.partial(
+        _batched_kernel, h=h, w=w, n_steps=n_steps, use_pins=use_pins,
+        fast_math=fast_math)
+    state_spec = pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0))
+    out_pos, out_vel = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            state_spec,
+            state_spec,
+        ] + pin_specs,
+        out_specs=(state_spec, state_spec),
+        interpret=interpret,
+    )(pvec, state.pos, state.vel, pinm, pinpos)
+    return state._replace(pos=out_pos, vel=out_vel)
+
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "interpret", "fast_math"))
 def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
@@ -304,15 +401,21 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
     sqrt+divide (~10% faster, deviates from the exact path by ≈1 ulp per
     step — fine for datagen, off for fidelity-critical runs).
 
-    Batched states (``pos`` [B, 3, H, W]) are looped via ``lax.map`` — one
-    kernel launch per world, which is what a vmapped kernel would execute
-    on a single core anyway (and avoids vmap-of-SMEM-blockspec limits).
-    Batched states require batched params (leaves [B]) or shared scalars;
-    pins must be batched alongside if present.
+    Batched states (``pos`` [B, 3, H, W]) run as ONE grid=(B,) kernel
+    launch — one program per world with a per-world SMEM params row
+    (:func:`_batched_kernel`; bitwise equal per world to the single-world
+    kernel). Grids past the per-program budget fall back to a per-world
+    ``lax.map`` of the single-world dispatch. Batched states require
+    batched params (leaves [B]) or shared scalars; pins must be batched
+    alongside if present.
     """
     if interpret is None:
         interpret = _default_interpret()
     if state.pos.ndim == 4:
+        hb, wb = state.pos.shape[-2:]
+        if hb * wb <= _BATCHED_VMEM_PARTICLE_LIMIT:
+            return _multi_step_batched(state, params, dt, n_steps,
+                                       interpret, fast_math)
         if jnp.ndim(params.k_struct) >= 1:
             return jax.lax.map(
                 lambda x: multi_step(x[0], x[1], dt, n_steps, interpret,

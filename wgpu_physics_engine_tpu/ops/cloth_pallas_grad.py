@@ -61,6 +61,13 @@ from . import cloth_pallas as cp
 _EPS = cp._EPS
 _NP = cp._NP
 
+# The reverse-walk kernel's live set of [h, w] temporaries (12-family
+# re-linearization per substep) OOMs the 16M scoped-VMEM limit at 256²
+# on v5e (40.9M measured — tools/probes/probe_grad.py); 128² fits and
+# runs at 2.2e8 particle-steps/s. models/cloth.multi_step_diff routes
+# larger grids to the XLA + jax.checkpoint fallback.
+_GRAD_VMEM_PARTICLE_LIMIT = 16_384
+
 
 # ---------------------------------------------------------------------------
 # AD-able building blocks (traced inside kernel bodies)

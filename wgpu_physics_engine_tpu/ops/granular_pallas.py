@@ -903,9 +903,22 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
     fy = jnp.zeros((block, 1), jnp.float32)
     fz = jnp.zeros((block, 1), jnp.float32)
     facc[...] = jnp.zeros((block, 4), jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, slab), 1)
 
     center = ng // 2      # only this group's interval contains dcid == 0
+
+    # The dense pair math materializes ~7 [block, chunk] f32 temporaries
+    # in VMEM (dx/dy/dz/d2/valid/inv/w). At the proven default
+    # b256/s640 that is ~4.6 MB; big blocks (b512/s1280 = 18 MB) blow
+    # the 16 MB scoped-VMEM limit, so the slab is processed in column
+    # chunks. chunk == slab (all default configs) is bitwise-identical
+    # to the unchunked form; chunk < slab reassociates the per-group
+    # force sums (chunk partials added in order) — same contract as
+    # changing `slab` itself.
+    _CHUNK_BUDGET = 256 * 640
+    chunk = slab
+    while block * chunk > _CHUNK_BUDGET and chunk % 256 == 0:
+        chunk //= 2          # stays a multiple of 128 (lane-aligned)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     if mxu:
         # recenter on the block's first particle: slab hulls span a few
@@ -923,10 +936,10 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
         eps2 = jnp.float32(_EPS * _EPS)
         dn_d = (((1,), (0,)), ((), ()))       # [B,3] x [3,S] -> [B,S]
         dn_w = (((1,), (1,)), ((), ()))       # [B,S] x [4,S] -> [B,4]
-        ones_row = jnp.ones((1, slab), jnp.float32)
+        ones_row = jnp.ones((1, chunk), jnp.float32)
 
-    def pair_sums(qslab, jg, lo_k, hi_k, lo, check_self):
-        qc = qslab[3:4, :]
+    def _chunk_sums(q, jg, lo_k, hi_k, lo, check_self):
+        qc = q[3:4, :]
         dc = qc - pc
         valid = (dc >= lo_k) & (dc <= hi_k)
         if lo is not None:
@@ -934,19 +947,19 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
         if check_self:
             valid = valid & (jg != selfs)
         if mxu:
-            qxc = qslab[0:1, :] - cx
-            qyc = qslab[1:2, :] - cy
-            qzc = qslab[2:3, :] - cz
-            qm = jnp.concatenate([qxc, qyc, qzc], axis=0)     # [3, S]
+            qxc = q[0:1, :] - cx
+            qyc = q[1:2, :] - cy
+            qzc = q[2:3, :] - cz
+            qm = jnp.concatenate([qxc, qyc, qzc], axis=0)     # [3, C]
             if mxu == "sums":
                 # hybrid: d2 from RAW differences (bit-identical per-pair
                 # weights to mxu=False), MXU only for the reductions
-                dx = px - qslab[0:1, :]
-                dy = py - qslab[1:2, :]
-                dz = pz - qslab[2:3, :]
+                dx = px - q[0:1, :]
+                dy = py - q[1:2, :]
+                dz = pz - q[2:3, :]
                 d2 = dx * dx + dy * dy + dz * dz
             else:
-                q2 = qxc * qxc + qyc * qyc + qzc * qzc        # [1, S]
+                q2 = qxc * qxc + qyc * qyc + qzc * qzc        # [1, C]
                 dot = jax.lax.dot_general(
                     pmat, qm, dn_d, preferred_element_type=jnp.float32)
                 d2 = (p2 + q2) - (dot + dot)
@@ -954,16 +967,16 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
             inv = jax.lax.rsqrt(jnp.where(d2 > eps2, d2, 1.0))
             w = jnp.where(touching, k_contact * (min_dist * inv - 1.0),
                           0.0)
-            q4 = jnp.concatenate([qm, ones_row], axis=0)      # [4, S]
+            q4 = jnp.concatenate([qm, ones_row], axis=0)      # [4, C]
             s = jax.lax.dot_general(
                 w, q4, dn_w, preferred_element_type=jnp.float32)
             wsum = s[:, 3:4]
             return (pxc * wsum - s[:, 0:1],
                     pyc * wsum - s[:, 1:2],
                     pzc * wsum - s[:, 2:3])
-        dx = px - qslab[0:1, :]
-        dy = py - qslab[1:2, :]
-        dz = pz - qslab[2:3, :]
+        dx = px - q[0:1, :]
+        dy = py - q[1:2, :]
+        dz = pz - q[2:3, :]
         d2 = dx * dx + dy * dy + dz * dz
         touching = valid & (d2 < min_dist * min_dist) & (d2 > _EPS * _EPS)
         inv = jax.lax.rsqrt(jnp.where(d2 > _EPS * _EPS, d2, 1.0))
@@ -971,6 +984,18 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
         return (jnp.sum(w * dx, axis=1, keepdims=True),
                 jnp.sum(w * dy, axis=1, keepdims=True),
                 jnp.sum(w * dz, axis=1, keepdims=True))
+
+    def pair_sums(qslab, off, lo_k, hi_k, lo, check_self):
+        sx, sy, sz = _chunk_sums(qslab[:, 0:chunk], lane + off, lo_k, hi_k,
+                                 lo, check_self)
+        for c0 in range(chunk, slab, chunk):
+            cx_, cy_, cz_ = _chunk_sums(qslab[:, c0:c0 + chunk],
+                                        lane + (off + c0), lo_k, hi_k,
+                                        lo, check_self)
+            sx = sx + cx_
+            sy = sy + cy_
+            sz = sz + cz_
+        return sx, sy, sz
 
     for g in range(ng):
         lo_k = jnp.float32(bounds[g][0])
@@ -981,7 +1006,7 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
             pos3_hbm.at[:, pl.ds(pl.multiple_of(offa, 128), slab)],
             slabs.at[par, g, 0], sems.at[par, g, 0]).wait()
         sx, sy, sz = pair_sums(
-            slabs[par, g, 0], lane + offa, lo_k, hi_k, None, g == center)
+            slabs[par, g, 0], offa, lo_k, hi_k, None, g == center)
         fx = fx + sx
         fy = fy + sy
         fz = fz + sz
@@ -992,7 +1017,7 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
                 pos3_hbm.at[:, pl.ds(pl.multiple_of(offb, 128), slab)],
                 slabs.at[par, g, 1], sems.at[par, g, 1]).wait()
             bx, by, bz = pair_sums(
-                slabs[par, g, 1], lane + offb, lo_k, hi_k, offa + slab,
+                slabs[par, g, 1], offb, lo_k, hi_k, offa + slab,
                 g == center)
             facc[:, 0:1] += bx
             facc[:, 1:2] += by
@@ -1118,6 +1143,20 @@ def _forces_kernel(params_ref, pos3_hbm, posc_blk, win_blk, slab_ref,
     f_out[:, 2:3] = jnp.where(alive, fz, 0.0)
 
 
+def _check_block_slab(block: int, slab: int) -> None:
+    """Fail fast on launch-geometry values Mosaic rejects deep in
+    lowering: slab DMA slices are ``[4, slab]`` windows of the tiled
+    pos3 plane, so ``slab`` must be lane-aligned (multiple of 128), and
+    per-block operand tiles ``[block, ...]`` need sublane-aligned
+    ``block`` (multiple of 8). A mis-sized slab (e.g. 960) otherwise
+    surfaces as an opaque remote-compile ``tpu.memref_slice`` error."""
+    if slab % 128 != 0:
+        raise ValueError(f"slab must be a multiple of 128 (got {slab}): "
+                         "slab DMA windows slice the lane dimension")
+    if block % 8 != 0:
+        raise ValueError(f"block must be a multiple of 8 (got {block})")
+
+
 def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                           windows: jnp.ndarray, slab_start: jnp.ndarray,
                           min_dist, k_contact, *, block: int, slab: int,
@@ -1141,6 +1180,7 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
     the [n_pad, 1] f32 cid column and ``pos3`` must carry cids in row 3
     (``build_offsets_civ`` returns both); always cross-block pipelined.
     """
+    _check_block_slab(block, slab)
     n_pad = posc.shape[0]
     nb = n_pad // block
     ng, ngp = (3, 4) if thin else (_NG, _NGP)
@@ -1432,6 +1472,7 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
     the [n_pad, 1] f32 cid column and ``pos3`` row 3 carries cids
     (``build_offsets_civ`` returns both); always cross-block pipelined.
     """
+    _check_block_slab(block, slab)
     n_pad = posc.shape[0]
     nb = n_pad // block
     if merge or civ:
