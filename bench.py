@@ -136,11 +136,15 @@ def _child_self_collide(n_steps: int = 512) -> dict:
     """Secondary metric: cloth self-collision at 256² (BASELINE
     configs[3]), frozen-window schedule.
 
-    Round-3 tuning: rebuild_every=16 with slab 640 — zero dropped window
+    Round-3 tuning: rebuild_every=32 with slab 640 — zero dropped window
     entries over this trajectory (verified in stats mode), and deviation
-    from the exact per-substep-rebuild path is the same as K=8's
-    (maxdev 0.162 vs 0.164 after 512 substeps — contact dynamics are
-    chaotic and divergence saturates regardless of K)."""
+    from the exact per-substep-rebuild path saturates at the same level
+    as K=8/K=16 (maxdev 0.163 vs 0.162/0.164 after 512 substeps —
+    contact dynamics are chaotic and divergence saturates regardless of
+    K; tools/probes/probe_fid32.py). K=32 vs K=16 interleaved A/B:
+    1.786 vs 1.862 ms/substep (probe_sc3, Aug 19). Small blocks LOSE
+    here (b128 drops millions of window entries — fold hulls exceed the
+    proportional slab), unlike granular."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -157,7 +161,7 @@ def _child_self_collide(n_steps: int = 512) -> dict:
 
     def run(s):
         return cloth.multi_step_self_collide(s, params, dt, n_steps, spec,
-                                             rebuild_every=16,
+                                             rebuild_every=32,
                                              pallas_slab=640)
 
     np.asarray(run(state).pos)

@@ -181,6 +181,100 @@ def test_thin_civ_matches_full():
                                atol=1e-4, rtol=0)
 
 
+def test_rpb_multiblock_matches_single_bitwise():
+    """rpb>1 (multi-block wide-slab programs) reads exactly the same
+    candidate lanes in the same order as rpb=1 whenever the wide slabs
+    cover every block's window — the per-block [4, slab] view extracted
+    from the wide buffer is the same data the per-block DMA would have
+    fetched — so results must match BITWISE (like CIV-vs-windows)."""
+    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
+                restitution=0.4, rebuild_every=4, pallas_block=128,
+                pallas_slab=512, civ=True)
+    cfg_1 = granular.GranularConfig(**base)
+    state = granular.init_state(cfg_1, jax.random.PRNGKey(9))
+    dt = jnp.float32(1 / 240)
+    out_1 = granular.multi_step(state, cfg_1, dt, 6, backend="pallas")
+    for rpb in (2, 4):
+        cfg_r = granular.GranularConfig(**base, rpb=rpb)
+        out_r, drop_r = granular.multi_step(state, cfg_r, dt, 6,
+                                            return_stats=True,
+                                            backend="pallas")
+        assert int(drop_r) == 0, rpb
+        np.testing.assert_array_equal(np.asarray(out_r.pos),
+                                      np.asarray(out_1.pos),
+                                      err_msg=str(rpb))
+        np.testing.assert_array_equal(np.asarray(out_r.vel),
+                                      np.asarray(out_1.vel),
+                                      err_msg=str(rpb))
+
+
+def test_rpb_thin_matches_and_requires_civ():
+    """rpb composes with thin mode (the production bench config), and
+    outside the CIV phase it must raise rather than be silently
+    ignored."""
+    import pytest
+
+    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
+                restitution=0.4, rebuild_every=4, pallas_block=128,
+                pallas_slab=768, civ=True, thin=True)
+    cfg_t = granular.GranularConfig(**base)
+    cfg_r = granular.GranularConfig(**base, rpb=4)
+    state = granular.init_state(cfg_t, jax.random.PRNGKey(5))
+    dt = jnp.float32(1 / 240)
+    out_t = granular.multi_step(state, cfg_t, dt, 6, backend="pallas")
+    out_r, drop_r = granular.multi_step(state, cfg_r, dt, 6,
+                                        return_stats=True, backend="pallas")
+    assert int(drop_r) == 0
+    np.testing.assert_array_equal(np.asarray(out_r.pos),
+                                  np.asarray(out_t.pos))
+    cfg_bad = granular.GranularConfig(
+        num_particles=300, bounds=2.0, radius=0.08, rebuild_every=4,
+        pallas_block=128, pallas_slab=512, civ=False, rpb=2)
+    state_bad = granular.init_state(cfg_bad, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="rpb"):
+        granular.multi_step(state_bad, cfg_bad, dt, 4, backend="pallas")
+
+
+def test_rpb_clipped_coverage_counts_drops():
+    """When a program's window hull outruns the wide slab, the effective
+    per-block offsets clip and the uncovered entries must land in the
+    dropped telemetry (stats mode exact; fast mode sound) — never a
+    silent miss or an out-of-range extract."""
+    from wgpu_physics_engine_tpu.models import broadphase
+    from wgpu_physics_engine_tpu.ops import granular_pallas
+
+    cfg = granular.GranularConfig(num_particles=1500, bounds=2.0,
+                                  radius=0.08, pallas_block=128,
+                                  pallas_slab=256)
+    state = granular.init_state(cfg, jax.random.PRNGKey(11))
+    spec = cfg.grid_spec()
+    grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
+    block, slab, rpb = 128, 256, 4
+    wide = 512           # deliberately < slab + rpb*block = 768
+    n_pad = 1536
+    cidf, off, woff, fast = granular_pallas.build_offsets_civ(
+        grid, spec, block, slab, n_pad, stats=False, rpb=rpb, wide=wide)
+    _, off_s, _, exact = granular_pallas.build_offsets_civ(
+        grid, spec, block, slab, n_pad, stats=True, rpb=rpb, wide=wide)
+    # effective offsets stay inside the wide coverage (extract-shift
+    # safety) for every block and group
+    ng = len(granular_pallas.civ_bounds(spec, thin=False))
+    offs = np.asarray(off)[:n_pad // block].reshape(-1, rpb, 2 * ng)
+    woffs = np.asarray(woff)[:n_pad // (rpb * block)]
+    for g in range(ng):
+        aeff = offs[:, :, 2 * g]
+        beff = offs[:, :, 2 * g + 1]
+        woffa = woffs[:, 2 * g:2 * g + 1]
+        woffb = woffs[:, 2 * g + 1:2 * g + 2]
+        assert ((aeff - woffa >= 0) & (aeff - woffa <= wide - slab)).all()
+        live = beff > aeff
+        if live.any():
+            sh = (beff - woffb)[live]
+            assert ((sh >= 0) & (sh <= wide - slab)).all()
+    # fast indicator is SOUND: nonzero whenever exact says entries dropped
+    assert int(exact) == 0 or int(fast) > 0
+
+
 def test_pipelined_kernel_matches_unpipelined():
     """Cross-block DMA double buffering must not change a single bit:
     identical slabs, identical math, only prefetch timing differs.

@@ -29,4 +29,8 @@ run probe_grad probe_grad
 run probe_grad probe_grad128 128
 # session-5 diff paths (granular 1M + self-collide 256^2 grad rates)
 run probe_grad2 probe_grad2
+# session-7: SC contact-kernel fixed-vs-math decomposition + multi-block
+# (rpb) wide-slab mode on both headline broad-phase workloads
+run probe_sc4 probe_sc4
+run probe_rpb probe_rpb
 echo "ALL PROBES DONE $(date)"

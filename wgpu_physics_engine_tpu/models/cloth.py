@@ -229,7 +229,7 @@ def _self_collide_block(state: ClothState, params: ClothParams,
                         dt: jnp.ndarray, length: int, grid_spec,
                         block: int, slab: int, interpret: bool,
                         use_kernel: bool = True, stats: bool = False,
-                        mxu: bool = False):
+                        mxu: bool = False, rpb: int = 1):
     """Frozen-window self-collision: one broad-phase rebuild + ``length``
     substeps against it. The sort ORDER is frozen for the block;
     positions are re-gathered into it each substep (two [N] permutation
@@ -267,10 +267,18 @@ def _self_collide_block(state: ClothState, params: ClothParams,
     flat_vel = state.vel.reshape(3, n)
     origin = jnp.min(flat_pos, axis=1) - grid_spec.cell_size
     grid = broadphase.build_sorted_grid(flat_pos, flat_vel, grid_spec, origin)
-    n_pad = -(-max(n, slab) // block) * block
+    gran = rpb * block
+    wide = slab + rpb * block if rpb > 1 else None
+    n_pad = -(-max(n, slab if rpb == 1 else wide) // gran) * gran
     civ = granular_pallas.civ_bounds(grid_spec, thin=True)
-    cidf, off, dropped = granular_pallas.build_offsets_civ(
-        grid, grid_spec, block, slab, n_pad, thin=True, stats=stats)
+    woff = None
+    if rpb > 1:
+        cidf, off, woff, dropped = granular_pallas.build_offsets_civ(
+            grid, grid_spec, block, slab, n_pad, thin=True, stats=stats,
+            rpb=rpb, wide=wide)
+    else:
+        cidf, off, dropped = granular_pallas.build_offsets_civ(
+            grid, grid_spec, block, slab, n_pad, thin=True, stats=stats)
     cidc = cidf[:, None]
     cid_row = cidf[None, :]
     order = grid.order
@@ -290,7 +298,7 @@ def _self_collide_block(state: ClothState, params: ClothParams,
         f_sorted = granular_pallas.contact_forces_sorted(
             pos4, posc, cidc, off, min_dist, params.k_contact,
             block=block, slab=slab, n_real=n, interpret=interpret,
-            thin=True, civ=civ, mxu=mxu)
+            thin=True, civ=civ, mxu=mxu, rpb=rpb, woff=woff, wide=wide)
         f_self = f_sorted[:n].T[:, inv].reshape(3, h, w)
         if use_kernel:
             return cloth_pallas.substep_with_force(
@@ -311,7 +319,8 @@ def _self_collide_block(state: ClothState, params: ClothParams,
                                              "rebuild_every", "pallas_block",
                                              "pallas_slab", "interpret",
                                              "return_stats",
-                                             "use_spring_kernel", "mxu"))
+                                             "use_spring_kernel", "mxu",
+                                             "rpb"))
 def multi_step_self_collide(state: ClothState, params: ClothParams,
                             dt: jnp.ndarray, n_steps: int, grid_spec,
                             rebuild_every: int = 1,
@@ -320,8 +329,18 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
                             interpret: Optional[bool] = None,
                             return_stats: bool = False,
                             use_spring_kernel: Optional[bool] = None,
-                            mxu: bool = False):
+                            mxu: bool = False, rpb: int = 1):
     """``n_steps`` self-colliding substeps (BASELINE configs[3]).
+
+    ``rpb`` (rows-blocks per program): >1 routes the contact kernel
+    through the multi-block wide-slab mode — one wide A/B slab DMA per
+    group per ``rpb`` consecutive blocks instead of per block.
+    Bitwise-equal to ``rpb=1`` whenever the wide slabs cover every
+    block's window (check with ``return_stats``; clipped coverage is
+    COUNTED as dropped). MEASURED SLOWER at the tuned 256² config
+    (1.79 -> 1.86-2.15 ms/substep, tools/probes/probe_rpb.py): the
+    kernel sits near its VPU dense-math floor, not issue-bound — see
+    ``ops.granular_pallas._pair_force_phase_civ_rpb``. Off by default.
 
     ``rebuild_every=1`` (default) rebuilds the spatial hash every substep
     (exact, XLA sorted-window path). ``rebuild_every=K>1`` freezes the
@@ -370,7 +389,7 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
         s, d = _self_collide_block(s, params, dt, k, grid_spec,
                                    pallas_block, pallas_slab, interpret,
                                    use_kernel=use_spring_kernel,
-                                   stats=return_stats, mxu=mxu)
+                                   stats=return_stats, mxu=mxu, rpb=rpb)
         return (s, jnp.maximum(dmax, d)), None
 
     dmax = jnp.int32(0)
@@ -381,7 +400,7 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
         state, d = _self_collide_block(state, params, dt, rem, grid_spec,
                                        pallas_block, pallas_slab, interpret,
                                        use_kernel=use_spring_kernel,
-                                       stats=return_stats, mxu=mxu)
+                                       stats=return_stats, mxu=mxu, rpb=rpb)
         dmax = jnp.maximum(dmax, d)
     return (state, dmax) if return_stats else state
 

@@ -96,6 +96,19 @@ class GranularConfig:
     # issues) at the cost of slabs sized to ~3 y-columns + block span;
     # wins when columns are shallow, loses in deep piles. Size
     # pallas_slab accordingly and watch dropped. CIV only.
+    rpb: int = 1                     # rows-blocks per program (round 3,
+    # CIV only): >1 = multi-block kernel mode — each program covers rpb
+    # consecutive sorted blocks with ONE wide A/B slab DMA per group
+    # (wide = slab + rpb·block) instead of per-block slabs, dividing the
+    # kernel's fixed per-block cost (DMA issues + program overhead — the
+    # dominant share at the tuned configs; tools/probes/probe_sc4.py)
+    # by rpb with dense pair math unchanged. Bitwise-equal to rpb=1
+    # while the wide slabs cover every block (clipped coverage counts
+    # in dropped). Needs block % 128 == 0; rpb must divide 8 or be a
+    # multiple of 8. MEASURED a wash at the tuned 1M config (27.0 ->
+    # 27.6 ms/step, 0.5M drops at the auto wide — probe_rpb.py): the
+    # kernel is math/bandwidth-bound there, not issue-bound; see
+    # ops.granular_pallas._pair_force_phase_civ_rpb. Off by default.
 
     @property
     def skin_value(self) -> float:
@@ -253,10 +266,15 @@ def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
     grid = broadphase.build_sorted_grid(pos, vel, spec)
     n = pos.shape[-1]
     block, slab = config.pallas_block, config.pallas_slab
-    # padded size: a multiple of block that also fits one slab (the slab
-    # DMA source must cover [0, slab) even for tiny n)
-    n_pad = -(-max(n, slab) // block) * block
+    rpb = config.rpb
+    wide = slab + rpb * block if rpb > 1 else None
+    # padded size: a multiple of block (of rpb*block in multi-block
+    # mode) that also fits one (wide) slab — the slab DMA source must
+    # cover [0, slab) even for tiny n
+    gran = rpb * block
+    n_pad = -(-max(n, slab if rpb == 1 else wide) // gran) * gran
     views = None
+    woff = None
     civ = None
     # CIV needs dims >= 3 on every axis (border-wrap safety in
     # civ_bounds); tiny grids fall back to the window formulation, which
@@ -273,13 +291,24 @@ def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
         raise ValueError(
             "mxu requires civ=True without merge/sub_block and a grid "
             f"with dims >= 3 on every axis (got {spec.dims})")
+    if rpb > 1 and not civ_ok:
+        raise ValueError(
+            "rpb > 1 requires civ=True without merge/sub_block and a "
+            f"grid with dims >= 3 on every axis (got {spec.dims})")
     if config.sub_block:
         windows, slab_start, views, dropped = granular_pallas.build_windows(
             grid, spec, block, slab, n_pad, sub_block=config.sub_block)
     elif civ_ok:
         civ = granular_pallas.civ_bounds(spec, thin=config.thin)
-        cidf, slab_start, dropped = granular_pallas.build_offsets_civ(
-            grid, spec, block, slab, n_pad, thin=config.thin, stats=stats)
+        if rpb > 1:
+            cidf, slab_start, woff, dropped = (
+                granular_pallas.build_offsets_civ(
+                    grid, spec, block, slab, n_pad, thin=config.thin,
+                    stats=stats, rpb=rpb, wide=wide))
+        else:
+            cidf, slab_start, dropped = granular_pallas.build_offsets_civ(
+                grid, spec, block, slab, n_pad, thin=config.thin,
+                stats=stats)
         windows = cidf[:, None]                    # [n_pad, 1] cid column
         cid_row = cidf[None, :]
     else:
@@ -311,7 +340,8 @@ def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
             block=block, slab=slab, n_real=n, interpret=interpret,
             sub_block=config.sub_block, views=views,
             pipelined=config.pipeline and not config.sub_block,
-            merge=config.merge, civ=civ, mxu=config.mxu)
+            merge=config.merge, civ=civ, mxu=config.mxu,
+            rpb=rpb if civ else 1, woff=woff, wide=wide)
         return (posc, velc), None
 
     (posc, velc), _ = jax.lax.scan(inner, (posc, velc), None, length=length)

@@ -284,10 +284,31 @@ def build_windows(grid: broadphase.SortedGrid, spec: broadphase.GridSpec,
 def build_offsets_civ(grid: broadphase.SortedGrid,
                       spec: broadphase.GridSpec, block: int, slab: int,
                       n_pad: int, thin: bool = False,
-                      stats: bool = False) -> Tuple[jnp.ndarray, ...]:
+                      stats: bool = False, rpb: int = 1,
+                      wide: int = None) -> Tuple[jnp.ndarray, ...]:
     """Rebuild-time companion of CIV mode (:func:`civ_bounds`): per-block
     slab offsets + the cid plane — ``(cidf [n_pad] f32, slab_start
     [rows8, 2*ng] int32, dropped int32)``.
+
+    ``rpb > 1`` (rows-blocks per program, round 3): adds a per-PROGRAM
+    wide-slab table for the multi-block kernel mode, where one kernel
+    program covers ``rpb`` consecutive sorted blocks with a single wide
+    [4, wide] A-slab DMA per group (and one gated wide B) instead of
+    per-block slabs — the slab-probe decomposition (tools/probes/
+    probe_sc4.py) showed ~70% of the contact kernel is per-block FIXED
+    cost (DMA issues + program overhead), which this divides by ``rpb``
+    while the dense [block, slab] pair math is unchanged. Window starts
+    are monotone in sorted order, so ``rpb`` consecutive blocks' A
+    windows fit in ``wide = slab + rpb*block`` lanes in the common case;
+    when a program's hull outruns ``wide`` the per-block effective
+    offsets clip to the covered range and the uncovered entries are
+    COUNTED in ``dropped`` (same contract as slab-A overflow today).
+    Returns a 4-tuple ``(cidf, slab_start, wide_start, dropped)`` where
+    ``slab_start`` holds per-block (aeff, beff) pairs — the effective,
+    coverage-clipped starts (== (offa, offb) whenever nothing clips,
+    making rpb mode bitwise-equal to rpb=1) — and ``wide_start``
+    [programs8, 2*ng] holds (woffa, woffb) wide-slab starts with
+    ``woffb < 0`` meaning no block in the program needs a B pass.
 
     The expensive part of :func:`build_windows` is 2·ng data-dependent
     ``cell_start`` gathers PER PARTICLE (~6.6 ns/element on v5e however
@@ -334,8 +355,55 @@ def build_offsets_civ(grid: broadphase.SortedGrid,
     he = jnp.maximum(he, hs)
     offa = jnp.clip((hs // 128) * 128, 0, n_pad - slab)
     offb_raw = jnp.clip(((he - slab + 127) // 128) * 128, 0, n_pad - slab)
-    need_b = he > offa + slab
-    offb = jnp.where(need_b, offb_raw, offa)
+
+    woff = None
+    if rpb > 1:
+        if block % 128:
+            raise ValueError("rpb mode needs block % 128 == 0 "
+                             "(wide-slab starts must stay lane-aligned)")
+        if rpb < 8 and 8 % rpb or rpb >= 8 and rpb % 8:
+            raise ValueError(f"rpb must divide 8 or be a multiple of 8 "
+                             f"(got {rpb}): the SMEM offset table is read "
+                             "through 8-row blockspec windows")
+        if nb % rpb:
+            raise ValueError(f"n_pad/block = {nb} blocks must be a "
+                             f"multiple of rpb = {rpb}")
+        w = wide if wide is not None else slab + rpb * block
+        if w % 128 or w > n_pad:
+            raise ValueError(f"wide = {w} must be a multiple of 128 and "
+                             f"<= n_pad = {n_pad}")
+        npg = nb // rpb
+        offa3 = offa.reshape(npg, rpb, ng)
+        he3 = he.reshape(npg, rpb, ng)
+        offb_raw3 = offb_raw.reshape(npg, rpb, ng)
+        # wide A covers [woffa, woffa + w]; per-block A start clips into
+        # the covered range (aeff == offa whenever nothing clips)
+        woffa = jnp.clip(offa3[:, 0, :], 0, n_pad - w)         # [npg, ng]
+        aeff = jnp.minimum(offa3, woffa[:, None, :] + (w - slab))
+        need_b3 = he3 > aeff + slab
+        big = jnp.int32(2 ** 30)
+        woffb = jnp.min(jnp.where(need_b3, offb_raw3, big), axis=1)
+        bany = jnp.any(need_b3, axis=1)
+        woffb = jnp.clip(woffb, 0, n_pad - w)
+        # beff == aeff means "no B applied for this block" (kernel gate
+        # beff > aeff); a B start that the wide coverage forces at or
+        # below aeff cannot add lanes beyond A, so it gates off and its
+        # tail counts as `beyond` — keeps the in-kernel extract shift
+        # (beff - woffb) inside [0, w - slab]
+        beff_raw = jnp.minimum(offb_raw3, woffb[:, None, :] + (w - slab))
+        beff = jnp.where(need_b3 & (beff_raw > aeff), beff_raw, aeff)
+        woffb = jnp.where(bany, woffb, -big)
+        offa = aeff.reshape(nb, ng)
+        offb = beff.reshape(nb, ng)
+        need_b = need_b3.reshape(nb, ng)
+        woff = jnp.stack([woffa, woffb], axis=-1).astype(jnp.int32)
+        woff = woff.reshape(npg, -1)
+        wpad8 = (-npg) % 8
+        woff = jnp.pad(woff, ((0, wpad8 + 8), (0, 0)),
+                       constant_values=-(2 ** 30))
+    else:
+        need_b = he > offa + slab
+        offb = jnp.where(need_b, offb_raw, offa)
 
     if stats:
         # exact entry counts against THESE offsets (per-particle gathers)
@@ -394,17 +462,21 @@ def build_offsets_civ(grid: broadphase.SortedGrid,
         [cid.astype(jnp.float32),
          jnp.full((pad,), 3e7, jnp.float32)]) if pad else cid.astype(
              jnp.float32)
+    if rpb > 1:
+        return cidf, off, woff, dropped
     return cidf, off, dropped
 
 
-def _extract_view(x, shift, width):
+def _extract_view(x, shift, width, min_bit=8):
     """[4, L] -> [4, width] lanes starting at traced ``shift`` (multiple of
-    8, <= L - width). Mosaic has no dynamic lane slice and its dynamic
-    pltpu.roll miscompiles (round-3 probe), so the shift is realized as a
-    chain of STATIC rolls selected by the shift's bits — ~log2(L) vector
-    selects, far cheaper than the dense lanes it saves."""
+    ``min_bit``, <= L - width). Mosaic has no dynamic lane slice and its
+    dynamic pltpu.roll miscompiles (round-3 probe), so the shift is
+    realized as a chain of STATIC rolls selected by the shift's bits —
+    ~log2(L/min_bit) vector selects, far cheaper than the dense lanes it
+    saves. ``min_bit=128`` (rpb mode: all offsets lane-aligned) skips the
+    sub-128 levels."""
     length = x.shape[-1]
-    bit = 8
+    bit = min_bit
     while bit < length:
         x = jnp.where((shift & bit) != 0, pltpu.roll(x, (-bit) % length,
                                                      axis=1), x)
@@ -1029,9 +1101,179 @@ def _pair_force_phase_civ(min_dist, k_contact, pos3_hbm, posc_blk,
     return px, py, pz, fx, fy, fz, selfs
 
 
+def _pair_force_phase_civ_rpb(min_dist, k_contact, pos3_hbm, posc_blk,
+                              cidc_blk, off_ref, woff_ref, woff_next_ref,
+                              slabs_a, slabs_b, facc, sems_a, sems_b, *,
+                              block, slab, wide, rpb, bounds, base=None):
+    """Multi-block CIV pair phase (round 3): program ``p`` covers ``rpb``
+    consecutive sorted blocks with ONE wide [4, wide] A-slab DMA per
+    group (plus one gated wide B) instead of per-block slabs.
+
+    Why it was built: the slab-width decomposition
+    (tools/probes/probe_sc4.py, v5e) suggested the b256/s640 thin
+    contact kernel was ~0.99 ms FIXED cost (DMA issues + per-program
+    overhead) vs ~0.39 ms dense math; window starts are monotone in
+    sorted order, so ``rpb`` neighboring blocks' A windows share one
+    wide slab.
+
+    MEASURED RESULT (tools/probes/probe_rpb.py, Aug 19): a LOSS or wash
+    on both production workloads — SC 256² 1.79 -> 1.86/1.87/2.15
+    ms/substep at rpb 2/4/8, granular 1M 27.0 -> 27.6/27.3 ms/step at
+    rpb 4/8 (with 0.5M dropped entries at the auto ``wide``). The
+    probe_sc4 intercept was NOT per-program issue cost: it conflates
+    B-pass firing frequency (which falls as slab widens) with fixed
+    overhead, and the tuned kernels sit near the VPU dense-math floor
+    (~1.26G elem-ops ≈ 1.3 ms at 256²). Kept as a tested option — the
+    same status as merged-slab mode — because the bitwise contract and
+    drop accounting are useful if a future workload IS issue-bound
+    (many tiny blocks).
+    Per-block math is UNCHANGED: each row-block extracts its own
+    [4, slab] view from the wide buffer (static-roll chain,
+    :func:`_extract_view` — Mosaic has no dynamic lane slice; offsets
+    are 128-aligned so only the >=128 bit levels run) and runs the same
+    chunked [block, slab] masked pair math, making rpb mode
+    bitwise-equal to :func:`_pair_force_phase_civ` whenever nothing
+    clips (pinned by tests/test_granular_pallas.py::test_rpb_*).
+
+    ``off_ref`` rows hold per-block (aeff, beff) *effective* starts and
+    ``woff_ref`` per-program (woffa, woffb) wide starts, both from
+    :func:`build_offsets_civ` with ``rpb``; ``woffb < 0`` = no block in
+    the program needs a B pass, ``beff == aeff`` = this block doesn't.
+    Returns [rpb*block, 1] column stacks (same contract as the per-block
+    phases)."""
+    ng = len(bounds)
+    p = pl.program_id(0)
+    npg = pl.num_programs(0)
+    wrow = jax.lax.rem(p, 8)
+    par = jax.lax.rem(p, 2)
+    off_rows = max(rpb, 8)
+
+    def issue(ref, row_idx, buf):
+        for g in range(ng):
+            woffa = pl.multiple_of(ref[row_idx, g * 2], 128)
+            woffb = ref[row_idx, g * 2 + 1]
+            pltpu.make_async_copy(
+                pos3_hbm.at[:, pl.ds(woffa, wide)], slabs_a.at[buf, g],
+                sems_a.at[buf, g]).start()
+
+            @pl.when(woffb >= 0)
+            def _start_b(woffb=woffb, g=g, buf=buf):
+                pltpu.make_async_copy(
+                    pos3_hbm.at[:, pl.ds(pl.multiple_of(woffb, 128), wide)],
+                    slabs_b.at[buf, g], sems_b.at[buf, g]).start()
+
+    @pl.when(p == 0)
+    def _prime():
+        issue(woff_ref, wrow, par)
+
+    @pl.when(p + 1 < npg)
+    def _prefetch_next():
+        issue(woff_next_ref, jax.lax.rem(p + 1, 8), 1 - par)
+
+    wide_offs = []
+    for g in range(ng):
+        woffa = pl.multiple_of(woff_ref[wrow, g * 2], 128)
+        woffb = woff_ref[wrow, g * 2 + 1]
+        pltpu.make_async_copy(
+            pos3_hbm.at[:, pl.ds(woffa, wide)], slabs_a.at[par, g],
+            sems_a.at[par, g]).wait()
+
+        @pl.when(woffb >= 0)
+        def _wait_b(woffb=woffb, g=g):
+            pltpu.make_async_copy(
+                pos3_hbm.at[:, pl.ds(pl.multiple_of(woffb, 128), wide)],
+                slabs_b.at[par, g], sems_b.at[par, g]).wait()
+
+        wide_offs.append((woffa, woffb))
+
+    _CHUNK_BUDGET = 256 * 640
+    chunk = slab
+    while block * chunk > _CHUNK_BUDGET and chunk % 256 == 0:
+        chunk //= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    center = ng // 2
+    md2 = min_dist * min_dist
+    eps2 = jnp.float32(_EPS * _EPS)
+
+    outs = []
+    for rb in range(rpb):
+        r0 = rb * block
+        px = posc_blk[r0:r0 + block, 0:1]
+        py = posc_blk[r0:r0 + block, 1:2]
+        pz = posc_blk[r0:r0 + block, 2:3]
+        pc = cidc_blk[r0:r0 + block, 0:1]
+        selfs = ((p * rpb + rb) * block
+                 + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0))
+        if base is not None:
+            selfs = selfs + base
+        row_idx = jax.lax.rem(p * rpb, off_rows) + rb
+
+        def chunk_sums(q, jg, lo_k, hi_k, lo, check_self, px=px, py=py,
+                       pz=pz, pc=pc, selfs=selfs):
+            dc = q[3:4, :] - pc
+            valid = (dc >= lo_k) & (dc <= hi_k)
+            if lo is not None:
+                valid = valid & (jg >= lo)
+            if check_self:
+                valid = valid & (jg != selfs)
+            dx = px - q[0:1, :]
+            dy = py - q[1:2, :]
+            dz = pz - q[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            touching = valid & (d2 < md2) & (d2 > eps2)
+            inv = jax.lax.rsqrt(jnp.where(d2 > eps2, d2, 1.0))
+            w = jnp.where(touching, k_contact * (min_dist * inv - 1.0), 0.0)
+            return (jnp.sum(w * dx, axis=1, keepdims=True),
+                    jnp.sum(w * dy, axis=1, keepdims=True),
+                    jnp.sum(w * dz, axis=1, keepdims=True))
+
+        def pair_sums(qslab, off, lo_k, hi_k, lo, check_self,
+                      chunk_sums=chunk_sums):
+            sx, sy, sz = chunk_sums(qslab[:, 0:chunk], lane + off, lo_k,
+                                    hi_k, lo, check_self)
+            for c0 in range(chunk, slab, chunk):
+                ax, ay, az = chunk_sums(qslab[:, c0:c0 + chunk],
+                                        lane + (off + c0), lo_k, hi_k,
+                                        lo, check_self)
+                sx, sy, sz = sx + ax, sy + ay, sz + az
+            return sx, sy, sz
+
+        fx = jnp.zeros((block, 1), jnp.float32)
+        fy = jnp.zeros((block, 1), jnp.float32)
+        fz = jnp.zeros((block, 1), jnp.float32)
+        facc[...] = jnp.zeros((block, 4), jnp.float32)
+        for g in range(ng):
+            lo_k = jnp.float32(bounds[g][0])
+            hi_k = jnp.float32(bounds[g][1])
+            woffa, woffb = wide_offs[g]
+            aeff = off_ref[row_idx, g * 2]
+            beff = off_ref[row_idx, g * 2 + 1]
+            qa = _extract_view(slabs_a[par, g], aeff - woffa, slab,
+                               min_bit=128)
+            sx, sy, sz = pair_sums(qa, aeff, lo_k, hi_k, None, g == center)
+            fx, fy, fz = fx + sx, fy + sy, fz + sz
+
+            @pl.when(beff > aeff)
+            def _pass_b(g=g, woffb=woffb, aeff=aeff, beff=beff, lo_k=lo_k,
+                        hi_k=hi_k, pair_sums=pair_sums):
+                qb = _extract_view(slabs_b[par, g], beff - woffb, slab,
+                                   min_bit=128)
+                bx, by, bz = pair_sums(qb, beff, lo_k, hi_k, aeff + slab,
+                                       g == center)
+                facc[:, 0:1] += bx
+                facc[:, 1:2] += by
+                facc[:, 2:3] += bz
+
+        outs.append((px, py, pz, fx + facc[:, 0:1], fy + facc[:, 1:2],
+                     fz + facc[:, 2:3], selfs))
+
+    return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                 for i in range(7))
+
+
 def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
             *rest, block, slab, n_real, sub_block=0, pipelined=False,
-            merge=False, civ=None, mxu=False):
+            merge=False, civ=None, mxu=False, rpb=1, wide=0):
     """One granular substep for sorted-block ``b = program_id(0)``:
     the shared pair-force phase, then gravity -> Euler -> wall clamp &
     reflect — op order matching models/granular._frozen_substep exactly.
@@ -1039,10 +1281,14 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     ``civ``: static per-group cid-difference bounds (:func:`civ_bounds`);
     when set, ``win_blk`` is the [block, 1] f32 cid column instead of
     window ranges and the CIV pair phase runs (always cross-block
-    pipelined).
+    pipelined). ``rpb > 1``: the multi-block wide-slab phase
+    (:func:`_pair_force_phase_civ_rpb`); the program covers rpb blocks.
     """
     slab_next_ref = views_ref = None
-    if sub_block:
+    if rpb > 1:
+        (woff_ref, woff_next_ref, posc_out, velc_out, slabs_a, slabs_b,
+         facc, sems_a, sems_b) = rest
+    elif sub_block:
         views_ref, posc_out, velc_out, slabs, facc, sems = rest
     elif pipelined or merge or civ:
         slab_next_ref, posc_out, velc_out, slabs, facc, sems = rest
@@ -1055,7 +1301,15 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
     restitution = params_ref[4]
     limit = params_ref[5]
 
-    if civ:
+    if rpb > 1:
+        base = (jnp.int32(params_ref[6])
+                if params_ref.shape[0] > 6 else None)
+        px, py, pz, fx, fy, fz, selfs = _pair_force_phase_civ_rpb(
+            min_dist, k_contact, pos3_hbm, posc_blk, win_blk, slab_ref,
+            woff_ref, woff_next_ref, slabs_a, slabs_b, facc, sems_a,
+            sems_b, block=block, slab=slab, wide=wide, rpb=rpb,
+            bounds=civ, base=base)
+    elif civ:
         # a 7th params element (sharded launches) is the launch's global
         # first-particle index; f32 carries it exactly below 2**24
         base = (jnp.int32(params_ref[6])
@@ -1106,11 +1360,24 @@ def _kernel(params_ref, pos3_hbm, posc_blk, velc_blk, win_blk, slab_ref,
 def _forces_kernel(params_ref, pos3_hbm, posc_blk, win_blk, slab_ref,
                    *rest, block, slab, n_real, ng=_NG, ngp=_NGP,
                    sub_block=0, pipelined=False, merge=False, civ=None,
-                   mxu=False):
+                   mxu=False, rpb=1, wide=0):
     """Force-only variant: write the pair contact-force sums and stop —
     the caller owns integration (cloth self-collision folds these into
     its spring-force accumulation, models/cloth.self_collision_forces)."""
     slab_next_ref = views_ref = None
+    if rpb > 1:
+        (woff_ref, woff_next_ref, f_out, slabs_a, slabs_b, facc,
+         sems_a, sems_b) = rest
+        _, _, _, fx, fy, fz, selfs = _pair_force_phase_civ_rpb(
+            params_ref[0], params_ref[1], pos3_hbm, posc_blk, win_blk,
+            slab_ref, woff_ref, woff_next_ref, slabs_a, slabs_b, facc,
+            sems_a, sems_b, block=block, slab=slab, wide=wide, rpb=rpb,
+            bounds=civ)
+        alive = selfs < n_real
+        f_out[:, 0:1] = jnp.where(alive, fx, 0.0)
+        f_out[:, 1:2] = jnp.where(alive, fy, 0.0)
+        f_out[:, 2:3] = jnp.where(alive, fz, 0.0)
+        return
     if sub_block:
         views_ref, f_out, slabs, facc, sems = rest
     elif pipelined or merge or civ:
@@ -1157,6 +1424,73 @@ def _check_block_slab(block: int, slab: int) -> None:
         raise ValueError(f"block must be a multiple of 8 (got {block})")
 
 
+def _launch_rpb(body, pvec, pos3, posc, windows, slab_start, woff, *,
+                block, slab, n_real, interpret, civ, rpb, wide,
+                velc=None):
+    """Launch the multi-block (rpb) CIV kernel: a grid of ``nb/rpb``
+    programs, each owning ``rpb`` consecutive sorted blocks, wide A/B
+    slab scratch, and the per-program wide-offset SMEM table (windowed
+    one program ahead for the cross-program prefetch, like the per-block
+    table in the rpb=1 launchers)."""
+    n_pad = posc.shape[0]
+    nb = n_pad // block
+    ng = len(civ)
+    w = wide if wide is not None else slab + rpb * block
+    if nb % rpb:
+        raise ValueError(f"{nb} blocks not divisible by rpb={rpb}")
+    if w % 128 or w > n_pad:
+        raise ValueError(f"wide={w} must be 128-aligned and <= n_pad "
+                         f"({n_pad})")
+    npg = nb // rpb
+    off_rows = max(rpb, 8)
+    kernel = functools.partial(body, block=block, slab=slab,
+                               n_real=n_real, civ=civ, rpb=rpb, wide=w)
+    rblk = rpb * block
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),        # params
+        pl.BlockSpec(memory_space=pl.ANY),            # pos3 (DMA src)
+        pl.BlockSpec((rblk, 3), lambda b: (b, 0)),    # posc
+    ]
+    operands = [pvec, pos3, posc]
+    if velc is not None:
+        in_specs.append(pl.BlockSpec((rblk, 3), lambda b: (b, 0)))
+        operands.append(velc)
+    in_specs += [
+        pl.BlockSpec((rblk, 1), lambda b: (b, 0)),    # cid column
+        # per-block (aeff, beff) rows, windowed so rows [p*rpb, +rpb)
+        # are always inside the (off_rows)-row tile
+        pl.BlockSpec((off_rows, 2 * ng),
+                     lambda b: (b * rpb // off_rows, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, 2 * ng), lambda b: (b // 8, 0),
+                     memory_space=pltpu.SMEM),        # wide offsets
+        pl.BlockSpec((8, 2 * ng), lambda b: ((b + 1) // 8, 0),
+                     memory_space=pltpu.SMEM),        # prefetch row
+    ]
+    operands += [windows, slab_start, woff, woff]
+    scratch = [
+        pltpu.VMEM((2, ng, 4, w), jnp.float32),       # wide A slabs
+        pltpu.VMEM((2, ng, 4, w), jnp.float32),       # wide B slabs
+        pltpu.VMEM((block, 4), jnp.float32),          # per-row-block facc
+        pltpu.SemaphoreType.DMA((2, ng)),
+        pltpu.SemaphoreType.DMA((2, ng)),
+    ]
+    if velc is not None:
+        out_specs = (pl.BlockSpec((rblk, 3), lambda b: (b, 0)),
+                     pl.BlockSpec((rblk, 3), lambda b: (b, 0)))
+        out_shape = (jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+                     jax.ShapeDtypeStruct((n_pad, 3), jnp.float32))
+    else:
+        out_specs = pl.BlockSpec((rblk, 3), lambda b: (b, 0))
+        out_shape = jax.ShapeDtypeStruct((n_pad, 3), jnp.float32)
+    return pl.pallas_call(
+        kernel, grid=(npg,), in_specs=in_specs, out_specs=out_specs,
+        scratch_shapes=scratch, out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret)(*operands)
+
+
 def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                           windows: jnp.ndarray, slab_start: jnp.ndarray,
                           min_dist, k_contact, *, block: int, slab: int,
@@ -1164,7 +1498,8 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
                           thin: bool = False, sub_block: int = 0,
                           views=None, pipelined: bool = False,
                           merge: bool = False, civ=None,
-                          mxu: bool = False) -> jnp.ndarray:
+                          mxu: bool = False, rpb: int = 1,
+                          woff=None, wide: int = None) -> jnp.ndarray:
     """Pairwise penalty contact forces on padded SORTED positions.
 
     Same slab-DMA machinery as :func:`substep_sorted` but returns forces
@@ -1190,6 +1525,15 @@ def contact_forces_sorted(pos3: jnp.ndarray, posc: jnp.ndarray,
     ngd = ng // 3 if merge else ng
     pvec = jnp.stack([jnp.asarray(min_dist, jnp.float32),
                       jnp.asarray(k_contact, jnp.float32)])
+    if rpb > 1:
+        if civ is None or mxu or woff is None:
+            raise ValueError("rpb > 1 requires civ bounds and the woff "
+                             "table from build_offsets_civ(rpb=...); "
+                             "mxu is unsupported in rpb mode")
+        return _launch_rpb(_forces_kernel, pvec, pos3, posc, windows,
+                           slab_start, woff, block=block, slab=slab,
+                           n_real=n_real, interpret=interpret, civ=civ,
+                           rpb=rpb, wide=wide)
     kernel = functools.partial(_forces_kernel, block=block, slab=slab,
                                n_real=n_real, ng=ng, ngp=ngp,
                                sub_block=sub_block, pipelined=pipelined,
@@ -1456,7 +1800,8 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
                    params_vec: jnp.ndarray, *, block: int, slab: int,
                    n_real: int, interpret: bool, sub_block: int = 0,
                    views=None, pipelined: bool = False,
-                   merge: bool = False, civ=None, mxu: bool = False
+                   merge: bool = False, civ=None, mxu: bool = False,
+                   rpb: int = 1, woff=None, wide: int = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One substep on padded SORTED state. ``pos3`` [4, Np] (DMA slab
     source; rows x/y/z + one dead alignment row), ``posc``/``velc``
@@ -1478,6 +1823,15 @@ def substep_sorted(pos3: jnp.ndarray, posc: jnp.ndarray, velc: jnp.ndarray,
     if merge or civ:
         sub_block = 0
         pipelined = False
+    if rpb > 1:
+        if civ is None or mxu or woff is None:
+            raise ValueError("rpb > 1 requires civ bounds and the woff "
+                             "table from build_offsets_civ(rpb=...); "
+                             "mxu is unsupported in rpb mode")
+        return _launch_rpb(_kernel, params_vec, pos3, posc, windows,
+                           slab_start, woff, block=block, slab=slab,
+                           n_real=n_real, interpret=interpret, civ=civ,
+                           rpb=rpb, wide=wide, velc=velc)
     ngd = _NG // 3 if merge else (len(civ) if civ else _NG)
     kernel = functools.partial(_kernel, block=block, slab=slab,
                                n_real=n_real, sub_block=sub_block,
