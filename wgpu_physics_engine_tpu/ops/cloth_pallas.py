@@ -342,6 +342,200 @@ def _batched_kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
     vel_out[0, 0], vel_out[0, 1], vel_out[0, 2] = vx, vy, vz
 
 
+def _lanes_kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
+                  pos_out, vel_out, *, h, w, real_h, real_w, g, n_steps,
+                  use_pins, fast_math=False):
+    """Lane-folded batched-worlds body: each program steps ``g`` worlds
+    packed side by side along the LANE axis as six [h, g*w] planes, where
+    ``(h, w)`` are the per-world dims PADDED to register-tile alignment
+    (rows to a multiple of 8, total lanes g*w to a multiple of 128) and
+    ``(real_h, real_w)`` are the live grid dims.
+
+    Why: the grid=(B,) kernel (:func:`_batched_kernel`) rolls its planes
+    modulo the RAW grid extents — at the 60x60 datagen scene neither 60
+    rows (not 8-divisible) nor 60 lanes (not 128-divisible) is
+    tile-aligned, so Mosaic lowers every stencil roll through its
+    unaligned slow path. Folding g padded worlds into the lanes makes
+    every roll an aligned tile rotate over a [8k, 128m] block AND
+    amortizes per-op issue cost g-fold. Measured on v5e at the BASELINE
+    datagen scene (512 worlds x 60x60, 24 substeps, scalar-sync timing —
+    tools/probes/probe_lanes.py, Aug 19): grid=(B,) 5.8 us/substep/world
+    vs lane-folded 2.9 — a 2.1x end-to-end win (1.26e9 p-steps/s; at
+    this size the launch is near dispatch-bound, so the per-roll gap is
+    larger than the end-to-end ratio shows).
+
+    Correctness: rolls along the lane axis wrap from one world's padding
+    into its neighbor, but the spring validity masks use the LOCAL column
+    ``col % w`` against ``real_w`` (and rows against ``real_h``) —
+    cross-world and into-padding edges are masked off exactly like the
+    single-world kernel masks its own wraparound columns, and the
+    reaction back-shift only ever moves masked zeros across world/pad
+    boundaries. Pad cells evolve under gravity alone (zero-initialised,
+    spring-decoupled; they settle onto the globe contact surface, always
+    finite) and are sliced away on unfold. Per-world scalar params ride
+    as [1, g*w] planes (column-constant within each world); every
+    expression in :func:`_substep_planes` is elementwise in the lane
+    axis, so a broadcast multiply by the plane is bitwise identical to
+    the scalar multiply of the per-world kernel. Pinned to
+    test_lanes_kernel_bitwise_matches_per_world.
+    """
+    gw = g * w
+    prm = lambda i: params_ref[0, i].reshape(1, gw)
+    k = (prm(0), prm(1), prm(2))
+    c = (prm(3), prm(4), prm(5))
+    rest = (prm(6), prm(7), prm(8))
+    k_contact, mu, mass = prm(9), prm(10), prm(11)
+    gravity, damp_factor, min_dist, dt = prm(12), prm(13), prm(14), prm(15)
+
+    x, y, z = pos_ref[0, 0], pos_ref[0, 1], pos_ref[0, 2]
+    vx, vy, vz = vel_ref[0, 0], vel_ref[0, 1], vel_ref[0, 2]
+    pins = None
+    if use_pins:
+        pins = (pinm_ref[0] != 0.0, pinpos_ref[0, 0], pinpos_ref[0, 1],
+                pinpos_ref[0, 2])
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, gw), 0)
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (h, gw), 1) % w
+    masks = []
+    for dr, dc, _ in _FAMILIES:
+        ok = rows < (real_h - dr)
+        if dc >= 0:
+            ok = ok & (lcol < (real_w - dc))
+        else:
+            ok = ok & (lcol >= -dc) & (lcol < real_w)
+        masks.append(ok)
+
+    dist_inv = _fast_dist_inv if fast_math else _exact_dist_inv
+    scal = (k, c, rest, k_contact, mu, mass, gravity, damp_factor, min_dist,
+            dt)
+
+    def substep(_, carry):
+        return _substep_planes(carry, masks, scal, dist_inv, pins=pins)
+
+    x, y, z, vx, vy, vz = jax.lax.fori_loop(
+        0, n_steps, substep, (x, y, z, vx, vy, vz))
+
+    pos_out[0, 0], pos_out[0, 1], pos_out[0, 2] = x, y, z
+    vel_out[0, 0], vel_out[0, 1], vel_out[0, 2] = vx, vy, vz
+
+
+# Lane-folded batched kernel sizing: cap the folded plane at the
+# flagship's footprint (256^2 = 64k f32 per plane fits in VMEM with all
+# stencil temporaries) and the lane extent at 4096.
+_LANES_PLANE_LIMIT = 65_536
+_LANES_MAX_LANES = 4096
+
+
+def _pick_lane_group(b: int, hp: int, wp: int) -> int:
+    """World count per program: the largest multiple of the lane-alignment
+    quantum m = 128/gcd(wp, 128) (so g*wp is a 128-multiple and every
+    lane roll stays tile-aligned) that fits the plane budget. Falls back
+    to the largest unaligned count (>= 1, correct but slow rolls) when
+    even one aligned group is over budget."""
+    import math
+
+    m = 128 // math.gcd(wp, 128)
+    budget = min(_LANES_PLANE_LIMIT // (hp * wp),
+                 _LANES_MAX_LANES // wp)
+    if budget >= m:
+        g = (budget // m) * m
+    else:
+        g = max(budget, 1)
+    # no point padding past the batch: shrink to cover b, keeping alignment
+    need = -(b // -m) * m
+    return max(min(g, need), 1)
+
+
+def _multi_step_lanes(state: ClothState, params: ClothParams,
+                      dt: jnp.ndarray, n_steps: int, interpret: bool,
+                      fast_math: bool, group: Optional[int] = None
+                      ) -> ClothState:
+    """Batched-worlds stepping via the lane-folded kernel
+    (:func:`_lanes_kernel`): each world is zero-padded to tile-aligned
+    dims (rows to 8, columns to 8 with the group chosen so total lanes
+    are a 128-multiple), then ``group`` worlds are packed per program
+    along the lane axis, grid = ceil(B / group). ``state.pos`` is
+    [B, 3, h, w]; params leaves are [B] or scalar; pins, if present,
+    batched alongside. Bitwise equal per world to the single-world
+    kernel."""
+    b = state.pos.shape[0]
+    h, w = state.pos.shape[-2:]
+    hp = -(h // -8) * 8
+    wp = -(w // -8) * 8
+    use_pins = state.pin_mask is not None
+    g = _pick_lane_group(b, hp, wp) if group is None else group
+    nb = -(b // -g)
+    pad = nb * g - b
+    gw = g * wp
+
+    bparams = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(jnp.asarray(leaf, jnp.float32), (b,)),
+        params)
+    pvec = jax.vmap(lambda p: _pack_params(p, dt))(bparams)   # [B, _NP]
+
+    def fold(a, lead):
+        # [B, *lead, h, w] -> [nb, *lead, hp, g*wp]
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], axis=0)
+        widths = [(0, 0)] * (1 + lead) + [(0, hp - h), (0, wp - w)]
+        a = jnp.pad(a, widths)
+        a = a.reshape((nb, g) + a.shape[1:])
+        perm = (0,) + tuple(range(2, 2 + lead)) + (2 + lead, 1, 3 + lead)
+        a = a.transpose(perm)
+        return a.reshape(a.shape[:-2] + (gw,))
+
+    def unfold(a, lead):
+        # [nb, *lead, hp, g*wp] -> [B, *lead, h, w]
+        a = a.reshape(a.shape[:-1] + (g, wp))
+        inv = (0, 2 + lead) + tuple(range(1, 1 + lead)) + (1 + lead, 3 + lead)
+        a = a.transpose(inv)
+        return a.reshape((nb * g,) + a.shape[2:])[:b, ..., :h, :w]
+
+    # params: [B, _NP] -> [nb, _NP, g*wp] (column-constant per world)
+    pv = pvec
+    if pad:
+        pv = jnp.concatenate(
+            [pv, jnp.broadcast_to(pv[:1], (pad, _NP))], axis=0)
+    pv = pv.reshape(nb, g, _NP).transpose(0, 2, 1)            # [nb, _NP, g]
+    pv = jnp.broadcast_to(pv[..., None], (nb, _NP, g, wp))
+    pv = pv.reshape(nb, _NP, gw)
+
+    fpos = fold(state.pos, 1)
+    fvel = fold(state.vel, 1)
+    if use_pins:
+        pinm = fold(state.pin_mask.astype(jnp.float32), 0)    # [nb, hp, gw]
+        pinpos = fold(state.pin_pos, 1)                       # [nb, 3, hp, gw]
+        pin_specs = [pl.BlockSpec((1, hp, gw), lambda i: (i, 0, 0)),
+                     pl.BlockSpec((1, 3, hp, gw), lambda i: (i, 0, 0, 0))]
+    else:
+        pinm = jnp.zeros((1, 1, 1), jnp.float32)
+        pinpos = jnp.zeros((1, 3, 1, 1), jnp.float32)
+        pin_specs = [pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)),
+                     pl.BlockSpec((1, 3, 1, 1), lambda i: (0, 0, 0, 0))]
+
+    kernel = functools.partial(
+        _lanes_kernel, h=hp, w=wp, real_h=h, real_w=w, g=g, n_steps=n_steps,
+        use_pins=use_pins, fast_math=fast_math)
+    state_spec = pl.BlockSpec((1, 3, hp, gw), lambda i: (i, 0, 0, 0))
+    out_pos, out_vel = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 3, hp, gw), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 3, hp, gw), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, _NP, gw), lambda i: (i, 0, 0)),
+            state_spec,
+            state_spec,
+        ] + pin_specs,
+        out_specs=(state_spec, state_spec),
+        interpret=interpret,
+    )(pv, fpos, fvel, pinm, pinpos)
+    return state._replace(pos=unfold(out_pos, 1), vel=unfold(out_vel, 1))
+
+
 def _multi_step_batched(state: ClothState, params: ClothParams,
                         dt: jnp.ndarray, n_steps: int, interpret: bool,
                         fast_math: bool) -> ClothState:
@@ -414,8 +608,8 @@ def multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
     if state.pos.ndim == 4:
         hb, wb = state.pos.shape[-2:]
         if hb * wb <= _BATCHED_VMEM_PARTICLE_LIMIT:
-            return _multi_step_batched(state, params, dt, n_steps,
-                                       interpret, fast_math)
+            return _multi_step_lanes(state, params, dt, n_steps,
+                                     interpret, fast_math)
         if jnp.ndim(params.k_struct) >= 1:
             return jax.lax.map(
                 lambda x: multi_step(x[0], x[1], dt, n_steps, interpret,

@@ -20,10 +20,21 @@ import numpy as np
 
 
 def sync(pytree) -> None:
-    """Force completion of all pending computation feeding ``pytree``."""
+    """Force completion of all pending computation feeding ``pytree``.
+
+    Reads back ONE element, not the whole leaf: the device slice is an
+    eager op that consumes the producer's buffer, so the 4-byte host
+    transfer still fences everything upstream. A full ``np.asarray``
+    of a large leaf would instead time the axon tunnel (~10 MB/s —
+    a [512,3,60,60] leaf costs ~1 s of pure readback and once swamped a
+    0.035 s kernel measurement 30x; tools/probes/probe_lanes.py, Aug 19).
+    """
     leaves = jax.tree.leaves(pytree)
     if leaves:
-        np.asarray(leaves[0])
+        leaf = leaves[0]
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 1) > 1:
+            leaf = leaf.ravel()[:1]
+        np.asarray(leaf)
 
 
 def timed(fn: Callable, *args, warmup: int = 1, repeats: int = 3, **kw):
