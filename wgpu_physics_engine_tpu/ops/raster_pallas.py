@@ -99,14 +99,27 @@ def sphere_raster(eye: jnp.ndarray, dirs: jnp.ndarray, centers: jnp.ndarray,
 # Tile-binned variant
 # ---------------------------------------------------------------------------
 
-def _hit_sweep(oc_ref, dirs_ref, znear, base, start, end, tmin, inst):
+def _hit_sweep(oc_ref, dirs_ref, znear, base, start, end, tmin, inst,
+               oc_win=None):
     """fori-sweep candidates [start, end) of ``oc_ref`` against one pixel
     tile, recording nearest hit; ``base + k`` is the recorded instance id
     (base > 0 in the chunked-table kernel). Shared by both tiled kernels
-    so the hit test cannot drift between the n<=MAX and chunked paths."""
+    so the hit test cannot drift between the n<=MAX and chunked paths.
+
+    ``oc_win``: optional (ox, oy, oz) winner planes — when given, the
+    winning candidate's eye-relative center is tracked alongside
+    (3 extra where-selects per candidate). This lets the composite read
+    the hit sphere's center from kernel outputs instead of a 65k-pixel
+    gather from the instance table (the TPU gather floor is ~7 ns/elem —
+    the gathers, not the sweep, dominate the per-world render at datagen
+    scales)."""
+    track = oc_win is not None
 
     def body(k, carry):
-        tmin, inst = carry
+        if track:
+            tmin, inst, ox, oy, oz = carry
+        else:
+            tmin, inst = carry
         ocx = oc_ref[0, k]
         ocy = oc_ref[1, k]
         ocz = oc_ref[2, k]
@@ -115,17 +128,27 @@ def _hit_sweep(oc_ref, dirs_ref, znear, base, start, end, tmin, inst):
         disc = b * b - cc
         tt = b - jnp.sqrt(jnp.maximum(disc, 0.0))
         better = (disc > 0.0) & (tt > znear) & (tt < tmin)
-        return jnp.where(better, tt, tmin), jnp.where(better, base + k,
-                                                      inst)
+        tmin = jnp.where(better, tt, tmin)
+        inst = jnp.where(better, base + k, inst)
+        if track:
+            ox = jnp.where(better, ocx, ox)
+            oy = jnp.where(better, ocy, oy)
+            oz = jnp.where(better, ocz, oz)
+            return tmin, inst, ox, oy, oz
+        return tmin, inst
 
-    return jax.lax.fori_loop(start, end, body, (tmin, inst))
+    init = (tmin, inst) + (tuple(oc_win) if track else ())
+    return jax.lax.fori_loop(start, end, body, init)
 
 
 def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
-                  *, th, tw, tx_tiles):
+                  *oc_outs, th, tw, tx_tiles):
     """Nearest hit for pixel tile ``t = program_id(0)`` over its binned
     candidate ranges: 3 sorted-order row-ring ranges + the global range
     (instances too close/large/behind to bin — exact fallback, no caps).
+
+    ``oc_outs``: optionally (ox_out, oy_out, oz_out) — winner
+    eye-relative-center planes (see :func:`_hit_sweep`).
     """
     t = pl.program_id(0)
     row = jax.lax.rem(t, 8)
@@ -133,17 +156,24 @@ def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
 
     tmin = jnp.full((th, tw), jnp.inf, jnp.float32)
     inst = jnp.full((th, tw), -1, jnp.int32)
+    oc_win = (tuple(jnp.zeros((th, tw), jnp.float32) for _ in range(3))
+              if oc_outs else None)
     for g in range(4):                      # 3 row-ring ranges + global
         start = wins_ref[row, 2 * g]
         end = wins_ref[row, 2 * g + 1]
-        tmin, inst = _hit_sweep(oc_ref, dirs_ref, znear, 0, start, end,
-                                tmin, inst)
+        out = _hit_sweep(oc_ref, dirs_ref, znear, 0, start, end,
+                         tmin, inst, oc_win)
+        tmin, inst = out[:2]
+        if oc_outs:
+            oc_win = out[2:]
     tmin_out[...] = tmin
     inst_out[...] = inst
+    for ref, plane in zip(oc_outs, oc_win or ()):
+        ref[...] = plane
 
 
 def _tiled_kernel_chunked(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out,
-                          inst_out, *, th, tw, tx_tiles, chunk):
+                          inst_out, *oc_outs, th, tw, tx_tiles, chunk):
     """Large-N variant of :func:`_tiled_kernel`: grid ``(tiles, chunks)``
     with the instance table split into ``chunk``-column SMEM blocks (so
     the per-step SMEM footprint stays inside the budget however large N
@@ -163,16 +193,24 @@ def _tiled_kernel_chunked(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out,
     def _init():
         tmin_out[...] = jnp.full((th, tw), jnp.inf, jnp.float32)
         inst_out[...] = jnp.full((th, tw), -1, jnp.int32)
+        for ref in oc_outs:
+            ref[...] = jnp.zeros((th, tw), jnp.float32)
 
     tmin = tmin_out[...]
     inst = inst_out[...]
+    oc_win = tuple(ref[...] for ref in oc_outs) if oc_outs else None
     for g in range(4):                      # 3 row-ring ranges + global
         start = wins_ref[0, row, 2 * g]
         end = wins_ref[0, row, 2 * g + 1]
-        tmin, inst = _hit_sweep(oc_ref, dirs_ref, znear, base, start, end,
-                                tmin, inst)
+        out = _hit_sweep(oc_ref, dirs_ref, znear, base, start, end,
+                         tmin, inst, oc_win)
+        tmin, inst = out[:2]
+        if oc_outs:
+            oc_win = out[2:]
     tmin_out[...] = tmin
     inst_out[...] = inst
+    for ref, plane in zip(oc_outs, oc_win or ()):
+        ref[...] = plane
 
 
 def tiled_prologue(camera_rot: jnp.ndarray, eye: jnp.ndarray,
@@ -250,11 +288,19 @@ def tiled_prologue(camera_rot: jnp.ndarray, eye: jnp.ndarray,
 def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
                                order: jnp.ndarray, dirs: jnp.ndarray, znear,
                                tile_h: int = 8,
-                               interpret: Optional[bool] = None
-                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                               interpret: Optional[bool] = None,
+                               return_oc: bool = False):
     """Kernel half of :func:`sphere_raster_tiled`: consume prebuilt bins
     (from :func:`tiled_prologue`, possibly computed batched across worlds)
     and return ``(tmin, inst)`` in original instance ids.
+
+    ``return_oc=True`` instead returns ``(tmin, hit, oc)`` — ``hit``
+    [h, w] bool and ``oc`` [3, h, w] the WINNING sphere's eye-relative
+    center, tracked inside the sweep. This skips BOTH post-kernel
+    gathers (the ``order`` remap and the caller's center lookup), the
+    dominant per-world render cost at datagen scales (~7 ns/elem TPU
+    gather floor × 4 planes × 65k pixels); original instance ids are
+    not recoverable in this mode.
 
     Beyond ``MAX_INSTANCES`` the instance table no longer fits SMEM in
     one piece; the kernel switches to a ``(tiles, chunks)`` grid whose
@@ -269,23 +315,23 @@ def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
     n_tiles = ty_t * tx_t
     n = order.shape[0]
     scal = jnp.asarray([znear], jnp.float32)
-    out_specs = (
+    n_outs = 5 if return_oc else 2
+    out_specs = tuple(
         pl.BlockSpec((th, tw),
-                     lambda t, *c: (t // tx_t, jax.lax.rem(t, tx_t))),
-        pl.BlockSpec((th, tw),
-                     lambda t, *c: (t // tx_t, jax.lax.rem(t, tx_t))),
-    )
+                     lambda t, *c: (t // tx_t, jax.lax.rem(t, tx_t)))
+        for _ in range(n_outs))
     out_shape = (
         jax.ShapeDtypeStruct((h, w), jnp.float32),
         jax.ShapeDtypeStruct((h, w), jnp.int32),
-    )
+    ) + tuple(jax.ShapeDtypeStruct((h, w), jnp.float32)
+              for _ in range(n_outs - 2))
     dirs_spec = pl.BlockSpec((3, th, tw),
                              lambda t, *c: (0, t // tx_t,
                                             jax.lax.rem(t, tx_t)))
     if n <= MAX_INSTANCES:
         kernel = functools.partial(_tiled_kernel, th=th, tw=tw,
                                    tx_tiles=tx_t)
-        tmin, inst_sorted = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(n_tiles,),
             in_specs=[
@@ -301,6 +347,7 @@ def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(scal, wins, ocb, dirs)
+        tmin, inst_sorted = outs[:2]
     else:
         # half the single-piece budget per block: Mosaic double-buffers
         # blocked inputs across grid steps, so the in-flight SMEM
@@ -318,7 +365,7 @@ def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
         wins_c = jnp.clip(wins[None], lo, lo + ch) - lo    # [C, T8, 8]
         kernel = functools.partial(_tiled_kernel_chunked, th=th, tw=tw,
                                    tx_tiles=tx_t, chunk=ch)
-        tmin, inst_sorted = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=(n_tiles, n_chunks),
             in_specs=[
@@ -335,18 +382,22 @@ def sphere_raster_tiled_binned(wins: jnp.ndarray, ocb: jnp.ndarray,
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
         )(scal, wins_c, ocb_p, dirs)
+        tmin, inst_sorted = outs[:2]
     hit = inst_sorted >= 0
+    if return_oc:
+        return tmin, hit, jnp.stack(outs[2:], axis=0)
     inst = jnp.where(hit, order[jnp.clip(inst_sorted, 0, n - 1)], -1)
     return tmin, inst
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_h", "interpret", "return_oc"))
 def sphere_raster_tiled(camera_rot: jnp.ndarray, eye: jnp.ndarray,
                         dirs: jnp.ndarray, centers: jnp.ndarray, radius,
                         znear, tan_half, aspect,
                         tile_h: int = 8,
-                        interpret: Optional[bool] = None
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        interpret: Optional[bool] = None,
+                        return_oc: bool = False):
     """Tile-binned nearest ray-sphere hit (same contract as
     :func:`sphere_raster`, ~5-10× less VPU work at datagen scales).
 
@@ -377,4 +428,4 @@ def sphere_raster_tiled(camera_rot: jnp.ndarray, eye: jnp.ndarray,
     wins, ocb, order = tiled_prologue(camera_rot, eye, centers, radius,
                                       znear, tan_half, aspect, h, w, tile_h)
     return sphere_raster_tiled_binned(wins, ocb, order, dirs, znear, tile_h,
-                                      interpret)
+                                      interpret, return_oc=return_oc)

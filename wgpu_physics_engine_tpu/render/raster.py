@@ -177,26 +177,38 @@ def draw_instanced_spheres(
                       and (n <= raster_pallas.MAX_INSTANCES
                            or (h % 16 == 0 and w % 128 == 0)))
 
+    oc_hw = None            # [3, h, w] winner eye-relative centers, if fused
     if use_kernel or binned is not None:
         from ..ops import raster_pallas
 
         if binned is not None:
-            tmin_hw, inst_hw = raster_pallas.sphere_raster_tiled_binned(
-                *binned, dirs, camera.znear)
+            # fused winner-center mode: the kernel tracks the hit sphere's
+            # eye-relative center, so the composite needs NO gather from
+            # the instance table (the gathers, not the sweep, dominate the
+            # per-world render at datagen scales). cen = eye + oc differs
+            # from the gathered center by ≤1 ulp of the subtraction in
+            # tiled_prologue — inside every draw-level tolerance.
+            tmin_hw, hit_hw, oc_hw = raster_pallas.sphere_raster_tiled_binned(
+                *binned, dirs, camera.znear, return_oc=True)
         elif h % 16 == 0 and w % 128 == 0:
             # tile-binned: each (16, 128) pixel tile tests only instances
             # whose projected center lands in its tile ring (~5-10x less
             # VPU work; bit-exact vs the untiled kernel incl. a global
             # fallback range for close/behind-camera instances)
-            tmin_hw, inst_hw = raster_pallas.sphere_raster_tiled(
+            tmin_hw, hit_hw, oc_hw = raster_pallas.sphere_raster_tiled(
                 camera.view[:3, :3], eye, dirs, centers, radius,
-                camera.znear, jnp.tan(camera.fovy_rad / 2.0), camera.aspect)
+                camera.znear, jnp.tan(camera.fovy_rad / 2.0), camera.aspect,
+                return_oc=True)
         else:
             tmin_hw, inst_hw = raster_pallas.sphere_raster(
                 eye, dirs, centers, radius, camera.znear)
-        tmin = tmin_hw.reshape(p)
-        inst = inst_hw.reshape(p)
-        hit = inst >= 0
+        if oc_hw is not None:
+            tmin = tmin_hw.reshape(p)
+            hit = hit_hw.reshape(p)
+        else:
+            tmin = tmin_hw.reshape(p)
+            inst = inst_hw.reshape(p)
+            hit = inst >= 0
     else:
         d = dirs.reshape(3, p).T                        # [P, 3]
         r2 = jnp.float32(radius) ** 2
@@ -232,9 +244,13 @@ def draw_instanced_spheres(
 
     tmin_g = jnp.where(hit, tmin, 0.0).reshape(h, w)
     hitg = hit.reshape(h, w)
-    cen_win = jnp.take(centers, jnp.clip(jnp.where(hit, inst, 0), 0, n - 1),
-                       axis=0)
-    cen_g = cen_win.T.reshape(3, h, w)
+    if oc_hw is not None:
+        cen_g = eye[:, None, None] + oc_hw
+    else:
+        cen_win = jnp.take(centers,
+                           jnp.clip(jnp.where(hit, inst, 0), 0, n - 1),
+                           axis=0)
+        cen_g = cen_win.T.reshape(3, h, w)
 
     p_world = eye[:, None, None] + tmin_g[None] * dirs
     rel = p_world - cen_g
