@@ -27,6 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 # 256 KiB of SMEM; beyond that callers should fall back to the XLA path.
 MAX_INSTANCES = 16384
 
+# Candidate-sweep unroll width (see _hit_sweep): amortizes the ~100 ns
+# fori-iteration overhead that dominated the per-world datagen render.
+_SWEEP_UNROLL = 8
+
 
 def _kernel(scal_ref, oc_ref, dirs_ref, tmin_out, inst_out, *, n, h, w):
     znear = scal_ref[0]
@@ -112,33 +116,58 @@ def _hit_sweep(oc_ref, dirs_ref, znear, base, start, end, tmin, inst,
     the hit sphere's center from kernel outputs instead of a 65k-pixel
     gather from the instance table (the TPU gather floor is ~7 ns/elem —
     the gathers, not the sweep, dominate the per-world render at datagen
-    scales)."""
-    track = oc_win is not None
+    scales).
 
-    def body(k, carry):
-        if track:
-            tmin, inst, ox, oy, oz = carry
-        else:
-            tmin, inst = carry
-        ocx = oc_ref[0, k]
-        ocy = oc_ref[1, k]
-        ocz = oc_ref[2, k]
-        cc = oc_ref[3, k]
-        b = dirs_ref[0] * ocx + dirs_ref[1] * ocy + dirs_ref[2] * ocz
-        disc = b * b - cc
-        tt = b - jnp.sqrt(jnp.maximum(disc, 0.0))
-        better = (disc > 0.0) & (tt > znear) & (tt < tmin)
-        tmin = jnp.where(better, tt, tmin)
-        inst = jnp.where(better, base + k, inst)
-        if track:
-            ox = jnp.where(better, ocx, ox)
-            oy = jnp.where(better, ocy, oy)
-            oz = jnp.where(better, ocz, oz)
-            return tmin, inst, ox, oy, oz
-        return tmin, inst
+    The loop is unrolled ``_SWEEP_UNROLL``-wide with a balanced
+    min-by-(t, index) tree per group: a scalar per-candidate fori pays
+    ~100 ns/iteration of loop/scalar-issue overhead (measured Aug 19 —
+    2.2 of the 2.4 ms/world datagen render at ~22k candidate-tile
+    iterations), swamping the ~12 VPU ops of actual hit math. Unrolling
+    amortizes the overhead and the tree exposes ILP across the group's
+    scalar SMEM loads. First-strict-minimum is associative over
+    index-ordered groups, so the winner (and every output bit) is
+    IDENTICAL to the scalar loop's, including exact-t ties (earliest
+    sorted index wins)."""
+    track = oc_win is not None
+    u = _SWEEP_UNROLL
+    kmax = oc_ref.shape[1] - 1          # clamp loads past `end` in-bounds
+
+    def body(i, carry):
+        tmin = carry[0]
+        k0 = start + i * u
+        cands = []
+        for j in range(u):
+            k = k0 + j
+            kc = jnp.minimum(k, kmax)
+            ocx = oc_ref[0, kc]
+            ocy = oc_ref[1, kc]
+            ocz = oc_ref[2, kc]
+            cc = oc_ref[3, kc]
+            b = dirs_ref[0] * ocx + dirs_ref[1] * ocy + dirs_ref[2] * ocz
+            disc = b * b - cc
+            tt = b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            ok = (disc > 0.0) & (tt > znear) & (k < end)
+            teff = jnp.where(ok, tt, jnp.inf)
+            cand = (teff, base + k)
+            if track:
+                cand += (ocx, ocy, ocz)
+            cands.append(cand)
+        while len(cands) > 1:           # balanced first-min tree
+            nxt = []
+            for a, bnd in zip(cands[0::2], cands[1::2]):
+                w = bnd[0] < a[0]       # strict: ties keep the earlier
+                nxt.append(tuple(jnp.where(w, xb, xa)
+                                 for xa, xb in zip(a, bnd)))
+            if len(cands) % 2:
+                nxt.append(cands[-1])
+            cands = nxt
+        better = cands[0][0] < tmin
+        return tuple(jnp.where(better, g, c)
+                     for g, c in zip(cands[0], carry))
 
     init = (tmin, inst) + (tuple(oc_win) if track else ())
-    return jax.lax.fori_loop(start, end, body, init)
+    n_groups = jax.lax.div(end - start + (u - 1), u)
+    return jax.lax.fori_loop(0, n_groups, body, init)
 
 
 def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
@@ -158,17 +187,22 @@ def _tiled_kernel(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out, inst_out,
     inst = jnp.full((th, tw), -1, jnp.int32)
     oc_win = (tuple(jnp.zeros((th, tw), jnp.float32) for _ in range(3))
               if oc_outs else None)
-    for g in range(4):                      # 3 row-ring ranges + global
+
+    # dynamic loop over the 4 ranges (3 row-ring + global) so the
+    # unrolled sweep body is emitted ONCE — four inlined copies blew the
+    # remote-compile request size limit (HTTP 413) on the axon tunnel
+    def grp(g, carry):
         start = wins_ref[row, 2 * g]
         end = wins_ref[row, 2 * g + 1]
-        out = _hit_sweep(oc_ref, dirs_ref, znear, 0, start, end,
-                         tmin, inst, oc_win)
-        tmin, inst = out[:2]
-        if oc_outs:
-            oc_win = out[2:]
-    tmin_out[...] = tmin
-    inst_out[...] = inst
-    for ref, plane in zip(oc_outs, oc_win or ()):
+        return _hit_sweep(oc_ref, dirs_ref, znear, 0, start, end,
+                          carry[0], carry[1],
+                          carry[2:] if oc_outs else None)
+
+    out = jax.lax.fori_loop(0, 4, grp,
+                            (tmin, inst) + (oc_win if oc_outs else ()))
+    tmin_out[...] = out[0]
+    inst_out[...] = out[1]
+    for ref, plane in zip(oc_outs, out[2:]):
         ref[...] = plane
 
 
@@ -198,18 +232,19 @@ def _tiled_kernel_chunked(scal_ref, wins_ref, oc_ref, dirs_ref, tmin_out,
 
     tmin = tmin_out[...]
     inst = inst_out[...]
-    oc_win = tuple(ref[...] for ref in oc_outs) if oc_outs else None
-    for g in range(4):                      # 3 row-ring ranges + global
+    oc_win = tuple(ref[...] for ref in oc_outs) if oc_outs else ()
+
+    def grp(g, carry):                      # see _tiled_kernel: one body
         start = wins_ref[0, row, 2 * g]
         end = wins_ref[0, row, 2 * g + 1]
-        out = _hit_sweep(oc_ref, dirs_ref, znear, base, start, end,
-                         tmin, inst, oc_win)
-        tmin, inst = out[:2]
-        if oc_outs:
-            oc_win = out[2:]
-    tmin_out[...] = tmin
-    inst_out[...] = inst
-    for ref, plane in zip(oc_outs, oc_win or ()):
+        return _hit_sweep(oc_ref, dirs_ref, znear, base, start, end,
+                          carry[0], carry[1],
+                          carry[2:] if oc_outs else None)
+
+    out = jax.lax.fori_loop(0, 4, grp, (tmin, inst) + oc_win)
+    tmin_out[...] = out[0]
+    inst_out[...] = out[1]
+    for ref, plane in zip(oc_outs, out[2:]):
         ref[...] = plane
 
 
