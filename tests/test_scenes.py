@@ -213,8 +213,12 @@ def test_granular_scene_frame_contract():
     assert s.dropped == 0
     assert s.instance_count == 400
     s.set_time_scale(0.5)
+    # material keys are redirected to the traced runtime scalars (zero
+    # retrace), NOT the static config — scenes.GranularScene.reconfigure
+    orig_k = s.config.k_contact
     s.reconfigure(k_contact=1000.0)
-    assert s.config.k_contact == 1000.0
+    assert float(s.k_contact) == 1000.0
+    assert s.config.k_contact == orig_k
 
 
 def test_cloth_scene_self_collide():
