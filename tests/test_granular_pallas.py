@@ -54,55 +54,6 @@ def test_pallas_matches_xla_frozen():
                                atol=1e-4, rtol=0)
 
 
-def test_subview_kernel_matches_dense():
-    """Kernel v3 (sub_block views: per-sub-block 128-lane views positioned
-    by static-roll chains) computes the same physics as the dense
-    [block, slab] path — identical candidate sets when nothing is
-    dropped."""
-    cfg_d = granular.GranularConfig(
-        num_particles=700, bounds=2.0, radius=0.08, restitution=0.4,
-        rebuild_every=4, pallas_block=128, pallas_slab=512)
-    cfg_v = granular.GranularConfig(
-        num_particles=700, bounds=2.0, radius=0.08, restitution=0.4,
-        rebuild_every=4, pallas_block=128, pallas_slab=512, sub_block=32)
-    state = granular.init_state(cfg_d, jax.random.PRNGKey(2))
-    dt = jnp.float32(1 / 240)
-    out_d, drop_d = granular.multi_step(state, cfg_d, dt, 6,
-                                        return_stats=True, backend="pallas")
-    out_v, drop_v = granular.multi_step(state, cfg_v, dt, 6,
-                                        return_stats=True, backend="pallas")
-    assert int(drop_d) == 0 and int(drop_v) == 0
-    np.testing.assert_allclose(np.asarray(out_v.pos), np.asarray(out_d.pos),
-                               atol=1e-6, rtol=0)
-    np.testing.assert_allclose(np.asarray(out_v.vel), np.asarray(out_d.vel),
-                               atol=1e-5, rtol=0)
-
-
-def test_merged_kernel_matches_dense():
-    """Merged-slab mode (one A/B slab pair per dx-triple, z-free column
-    windows) computes the same physics as the 9-group dense path: the
-    z-free supersets only admit candidates ≥ cell_size ≥ min_dist away,
-    which the distance test rejects — so the touching sets are identical
-    and results differ only by accumulation order. N=1500 crosses the
-    8-row offset-tile boundary in the merged prefetch path too."""
-    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
-                restitution=0.4, rebuild_every=4, pallas_block=128,
-                pallas_slab=512)
-    cfg_d = granular.GranularConfig(**base)
-    cfg_m = granular.GranularConfig(**base, merge=True)
-    state = granular.init_state(cfg_d, jax.random.PRNGKey(5))
-    dt = jnp.float32(1 / 240)
-    out_d, drop_d = granular.multi_step(state, cfg_d, dt, 6,
-                                        return_stats=True, backend="pallas")
-    out_m, drop_m = granular.multi_step(state, cfg_m, dt, 6,
-                                        return_stats=True, backend="pallas")
-    assert int(drop_d) == 0 and int(drop_m) == 0
-    np.testing.assert_allclose(np.asarray(out_m.pos), np.asarray(out_d.pos),
-                               atol=1e-6, rtol=0)
-    np.testing.assert_allclose(np.asarray(out_m.vel), np.asarray(out_d.vel),
-                               atol=1e-5, rtol=0)
-
-
 def test_civ_kernel_matches_windows_bitwise():
     """CIV mode (cid-interval validity, the default) admits EXACTLY the
     window formulation's candidate sets — same slab offsets away from
@@ -130,35 +81,6 @@ def test_civ_kernel_matches_windows_bitwise():
                                   np.asarray(out_c.pos))
 
 
-def test_mxu_kernel_matches_vpu():
-    """MXU pair math (d2 and force sums as matmuls on recentered
-    coordinates) vs the direct-difference VPU form: same candidate sets,
-    forces differ only by the expanded-form cancellation (~1 ulp of the
-    recentered |p'|^2) and reassociation — positions must agree to
-    integration-scale tolerance over a contact-rich trajectory."""
-    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
-                restitution=0.4, rebuild_every=4, pallas_block=128,
-                pallas_slab=512, civ=True)
-    cfg_v = granular.GranularConfig(**base)
-    cfg_m = granular.GranularConfig(**base, mxu=True)
-    state = granular.init_state(cfg_v, jax.random.PRNGKey(3))
-    dt = jnp.float32(1 / 240)
-    out_v = granular.multi_step(state, cfg_v, dt, 6, backend="pallas")
-    out_m, drop_m = granular.multi_step(state, cfg_m, dt, 6,
-                                        return_stats=True, backend="pallas")
-    assert int(drop_m) == 0
-    np.testing.assert_allclose(np.asarray(out_m.pos), np.asarray(out_v.pos),
-                               atol=1e-4, rtol=0)
-    np.testing.assert_allclose(np.asarray(out_m.vel), np.asarray(out_v.vel),
-                               atol=1e-3, rtol=0)
-    # "sums" hybrid: bit-identical per-pair weights, MXU reductions only —
-    # tighter envelope (pure reassociation noise)
-    cfg_s = granular.GranularConfig(**base, mxu="sums")
-    out_s = granular.multi_step(state, cfg_s, dt, 6, backend="pallas")
-    np.testing.assert_allclose(np.asarray(out_s.pos), np.asarray(out_v.pos),
-                               atol=1e-5, rtol=0)
-
-
 def test_thin_civ_matches_full():
     """Thin CIV (one dx.D +/- (d2+1) interval per dx) admits a superset
     of the 9-interval candidates whose extras all fail the distance test
@@ -179,100 +101,6 @@ def test_thin_civ_matches_full():
                                atol=1e-5, rtol=0)
     np.testing.assert_allclose(np.asarray(out_t.vel), np.asarray(out_f.vel),
                                atol=1e-4, rtol=0)
-
-
-def test_rpb_multiblock_matches_single_bitwise():
-    """rpb>1 (multi-block wide-slab programs) reads exactly the same
-    candidate lanes in the same order as rpb=1 whenever the wide slabs
-    cover every block's window — the per-block [4, slab] view extracted
-    from the wide buffer is the same data the per-block DMA would have
-    fetched — so results must match BITWISE (like CIV-vs-windows)."""
-    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
-                restitution=0.4, rebuild_every=4, pallas_block=128,
-                pallas_slab=512, civ=True)
-    cfg_1 = granular.GranularConfig(**base)
-    state = granular.init_state(cfg_1, jax.random.PRNGKey(9))
-    dt = jnp.float32(1 / 240)
-    out_1 = granular.multi_step(state, cfg_1, dt, 6, backend="pallas")
-    for rpb in (2, 4):
-        cfg_r = granular.GranularConfig(**base, rpb=rpb)
-        out_r, drop_r = granular.multi_step(state, cfg_r, dt, 6,
-                                            return_stats=True,
-                                            backend="pallas")
-        assert int(drop_r) == 0, rpb
-        np.testing.assert_array_equal(np.asarray(out_r.pos),
-                                      np.asarray(out_1.pos),
-                                      err_msg=str(rpb))
-        np.testing.assert_array_equal(np.asarray(out_r.vel),
-                                      np.asarray(out_1.vel),
-                                      err_msg=str(rpb))
-
-
-def test_rpb_thin_matches_and_requires_civ():
-    """rpb composes with thin mode (the production bench config), and
-    outside the CIV phase it must raise rather than be silently
-    ignored."""
-    import pytest
-
-    base = dict(num_particles=1500, bounds=2.0, radius=0.08,
-                restitution=0.4, rebuild_every=4, pallas_block=128,
-                pallas_slab=768, civ=True, thin=True)
-    cfg_t = granular.GranularConfig(**base)
-    cfg_r = granular.GranularConfig(**base, rpb=4)
-    state = granular.init_state(cfg_t, jax.random.PRNGKey(5))
-    dt = jnp.float32(1 / 240)
-    out_t = granular.multi_step(state, cfg_t, dt, 6, backend="pallas")
-    out_r, drop_r = granular.multi_step(state, cfg_r, dt, 6,
-                                        return_stats=True, backend="pallas")
-    assert int(drop_r) == 0
-    np.testing.assert_array_equal(np.asarray(out_r.pos),
-                                  np.asarray(out_t.pos))
-    cfg_bad = granular.GranularConfig(
-        num_particles=300, bounds=2.0, radius=0.08, rebuild_every=4,
-        pallas_block=128, pallas_slab=512, civ=False, rpb=2)
-    state_bad = granular.init_state(cfg_bad, jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="rpb"):
-        granular.multi_step(state_bad, cfg_bad, dt, 4, backend="pallas")
-
-
-def test_rpb_clipped_coverage_counts_drops():
-    """When a program's window hull outruns the wide slab, the effective
-    per-block offsets clip and the uncovered entries must land in the
-    dropped telemetry (stats mode exact; fast mode sound) — never a
-    silent miss or an out-of-range extract."""
-    from wgpu_physics_engine_tpu.models import broadphase
-    from wgpu_physics_engine_tpu.ops import granular_pallas
-
-    cfg = granular.GranularConfig(num_particles=1500, bounds=2.0,
-                                  radius=0.08, pallas_block=128,
-                                  pallas_slab=256)
-    state = granular.init_state(cfg, jax.random.PRNGKey(11))
-    spec = cfg.grid_spec()
-    grid = broadphase.build_sorted_grid(state.pos, state.vel, spec)
-    block, slab, rpb = 128, 256, 4
-    wide = 512           # deliberately < slab + rpb*block = 768
-    n_pad = 1536
-    cidf, off, woff, fast = granular_pallas.build_offsets_civ(
-        grid, spec, block, slab, n_pad, stats=False, rpb=rpb, wide=wide)
-    _, off_s, _, exact = granular_pallas.build_offsets_civ(
-        grid, spec, block, slab, n_pad, stats=True, rpb=rpb, wide=wide)
-    # effective offsets stay inside the wide coverage (extract-shift
-    # safety) for every block and group
-    ng = len(granular_pallas.civ_bounds(spec, thin=False))
-    offs = np.asarray(off)[:n_pad // block].reshape(-1, rpb, 2 * ng)
-    woffs = np.asarray(woff)[:n_pad // (rpb * block)]
-    for g in range(ng):
-        aeff = offs[:, :, 2 * g]
-        beff = offs[:, :, 2 * g + 1]
-        woffa = woffs[:, 2 * g:2 * g + 1]
-        woffb = woffs[:, 2 * g + 1:2 * g + 2]
-        assert ((aeff - woffa >= 0) & (aeff - woffa <= wide - slab)).all()
-        live = beff > aeff
-        if live.any():
-            sh = (beff - woffb)[live]
-            assert ((sh >= 0) & (sh <= wide - slab)).all()
-    # fast indicator is SOUND: nonzero whenever exact says entries dropped
-    assert int(exact) == 0 or int(fast) > 0
 
 
 def test_pipelined_kernel_matches_unpipelined():
@@ -392,28 +220,61 @@ def test_build_windows_invariants():
             assert (in_a | in_b | ~nonempty).all()
 
 
+_DROPPED_COUNTS_CHILD = """
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from wgpu_physics_engine_tpu.models import granular
+
+cfg = granular.GranularConfig(num_particles=600, bounds=2.0,
+                              radius=0.08, pallas_block=128,
+                              pallas_slab=512)
+st = granular.init_state(cfg, jax.random.PRNGKey(4))
+dt = jnp.float32(1 / 240)
+cfg_small = granular.GranularConfig(num_particles=600, bounds=2.0,
+                                    radius=0.08, pallas_block=128,
+                                    pallas_slab=128)
+_, d_small = granular.multi_step(st, cfg_small, dt, 2,
+                                 return_stats=True, backend="pallas")
+_, d_ok = granular.multi_step(st, cfg, dt, 2,
+                              return_stats=True, backend="pallas")
+assert int(d_ok) == 0, int(d_ok)
+assert 0 <= int(d_small) < 600 * 9 * 600, int(d_small)
+print("CHILD OK")
+"""
+
+
 def test_dropped_counts_only_real_entries():
     """The telemetry counts window ENTRIES outside the slabs, not raw
     range arithmetic: a window fully past slab B contributes its width,
-    not (end - slab_end)."""
-    cfg = granular.GranularConfig(num_particles=600, bounds=2.0,
-                                  radius=0.08, pallas_block=128,
-                                  pallas_slab=512)
-    spec = cfg.grid_spec()
-    st = granular.init_state(cfg, jax.random.PRNGKey(4))
-    dt = jnp.float32(1 / 240)
-    # absurdly small slab on a second config: drops must appear but stay
-    # bounded by the total window entry count
-    cfg_small = granular.GranularConfig(num_particles=600, bounds=2.0,
-                                        radius=0.08, pallas_block=128,
-                                        pallas_slab=128)
-    _, d_small = granular.multi_step(st, cfg_small, dt, 2,
-                                     return_stats=True, backend="pallas")
-    _, d_ok = granular.multi_step(st, cfg, dt, 2,
-                                  return_stats=True, backend="pallas")
-    assert int(d_ok) == 0
-    # total candidate entries is far below 600 particles * 9 groups * 600
-    assert 0 <= int(d_small) < 600 * 9 * 600
+    not (end - slab_end).
+
+    QUARANTINED into a fresh subprocess (round 4, VERDICT r3 item 2):
+    compiling this test's small-slab program inside the full-suite
+    process segfaults the XLA CPU compiler — 3/3 reproductions at the
+    round-3 HEAD (twice in `pxla.compile` fresh-compile, once through
+    the persistent-cache read), always at THIS test, always after ~80
+    prior tests' compiles — while the identical code passes 23/23 in
+    its own process. That is upstream compiler state, not kernel
+    behavior; the subprocess runs the identical assertions."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # never let the child register the axon TPU plugin (sitecustomize
+    # does when this var is set) — tests must not touch the chip
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    # share the suite's persistent compile cache so reruns skip compiles
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/wpe_xla_cache"))
+    r = subprocess.run([sys.executable, "-c", _DROPPED_COUNTS_CHILD],
+                       env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0 and "CHILD OK" in r.stdout, (
+        f"rc={r.returncode}\n{r.stdout}\n{r.stderr[-2000:]}")
 
 
 def test_cell_start_matches_searchsorted():
@@ -498,16 +359,15 @@ def test_small_grid_falls_back_to_windows():
     assert np.isfinite(np.asarray(out.pos)).all()
 
 
-def test_thin_and_mxu_require_civ():
-    """thin/mxu outside the CIV kernel phase would be silently ignored
-    (wrong slab sizing, wrong perf) — they must refuse loudly."""
+def test_thin_requires_civ():
+    """thin outside the CIV kernel phase would be silently ignored
+    (wrong slab sizing, wrong perf) — it must refuse loudly."""
     import pytest
 
     st = granular.init_state(
         granular.GranularConfig(num_particles=64), jax.random.PRNGKey(0))
-    for bad in (dict(thin=True, civ=False), dict(mxu=True, civ=False),
-                dict(thin=True, merge=True, pallas_slab=512),
-                dict(mxu=True, bounds=0.5, radius=0.3)):
+    for bad in (dict(thin=True, civ=False),
+                dict(thin=True, bounds=0.5, radius=0.3)):
         cfg = granular.GranularConfig(num_particles=64, **{
             "pallas_block": 128, "pallas_slab": 128, **bad})
         with pytest.raises(ValueError, match="requires civ"):
