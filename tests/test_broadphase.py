@@ -284,56 +284,6 @@ def test_self_collide_frozen_matches_exact():
                                atol=1e-5, rtol=0)
 
 
-def test_self_collide_mxu_matches_vpu():
-    """MXU contact math (recentered matmul d2 + force-sum matmuls) vs
-    the direct-difference VPU form on the same frozen windows: identical
-    candidate sets, forces differ by ~1 ulp of the recentered |p'|^2."""
-    c = cfg.ClothConfig(height=12, width=12, cloth_size=2.0,
-                        center=(0.0, 40.0, 0.0), particle_radius=0.12)
-    params = ClothParams.from_config(c)
-    state = cloth.multi_step(init_cloth_state(c), params,
-                             jnp.float32(1 / 480), 40)
-    grid = cloth.default_self_collision_grid(c, skin=2 * c.particle_radius)
-    dt = jnp.float32(1 / 480)
-    a = cloth.multi_step_self_collide(state, params, dt, 12, grid,
-                                      rebuild_every=4)
-    m, dropped = cloth.multi_step_self_collide(
-        state, params, dt, 12, grid, rebuild_every=4, mxu=True,
-        return_stats=True)
-    assert int(dropped) == 0
-    np.testing.assert_allclose(np.asarray(m.pos), np.asarray(a.pos),
-                               atol=1e-4, rtol=0)
-
-
-def test_self_collide_rpb_matches_single_bitwise():
-    """The multi-block wide-slab contact mode (rpb>1) must be BITWISE
-    equal to per-block slabs on the same frozen windows: each row-block
-    extracts the identical [4, slab] lanes from the wide buffer that its
-    own DMA would have fetched, and the summation order is unchanged."""
-    # 64x64 makes n_pad == 4096 for every rpb below (bitwise equality
-    # needs identical lane windows, hence identical padding and clip
-    # bounds across configs)
-    c = cfg.ClothConfig(height=64, width=64, cloth_size=4.0,
-                        center=(0.0, 40.0, 0.0), particle_radius=0.06)
-    params = ClothParams.from_config(c)
-    state = cloth.multi_step(init_cloth_state(c), params,
-                             jnp.float32(1 / 480), 40)
-    grid = cloth.default_self_collision_grid(c, skin=2 * c.particle_radius)
-    dt = jnp.float32(1 / 480)
-    a = cloth.multi_step_self_collide(state, params, dt, 8, grid,
-                                      rebuild_every=4, pallas_block=128,
-                                      pallas_slab=640)
-    for rpb in (2, 4, 8):
-        r, dropped = cloth.multi_step_self_collide(
-            state, params, dt, 8, grid, rebuild_every=4,
-            pallas_block=128, pallas_slab=640, rpb=rpb, return_stats=True)
-        assert int(dropped) == 0, rpb
-        np.testing.assert_array_equal(np.asarray(r.pos),
-                                      np.asarray(a.pos), err_msg=str(rpb))
-        np.testing.assert_array_equal(np.asarray(r.vel),
-                                      np.asarray(a.vel), err_msg=str(rpb))
-
-
 def test_self_collide_spring_kernel_matches_xla():
     """The fused spring+contact+integrate kernel (use_spring_kernel=True,
     round-3 path) matches the XLA spring path on the same frozen windows

@@ -170,7 +170,5 @@ def test_grads_finite_with_walls_active(setup):
 
 def test_rejects_unsupported_configs(setup):
     state, _, _ = setup
-    with pytest.raises(ValueError, match="mxu"):
-        granular.multi_step_diff(state, _config(mxu=True), DT, 2)
     with pytest.raises(ValueError, match="CIV"):
         granular.multi_step_diff(state, _config(civ=False), DT, 2)

@@ -20,9 +20,7 @@ pe = np.asarray(exact.pos)
 print("exact done", flush=True)
 
 for tag, kw in (("K=16", dict(rebuild_every=16, pallas_slab=640)),
-                ("K=32", dict(rebuild_every=32, pallas_slab=640)),
-                ("K=32+mxu", dict(rebuild_every=32, pallas_slab=640,
-                                  mxu=True))):
+                ("K=32", dict(rebuild_every=32, pallas_slab=640))):
     out = cloth.multi_step_self_collide(state, params, dt, 512, spec, **kw)
     p = np.asarray(out.pos)
     d = np.abs(p - pe)

@@ -116,18 +116,6 @@ def kernel_only(pos4, posc):
 timeit("contact kernel", kernel_only, pos40, posc0)
 
 
-def kernel_mxu(pos4, posc):
-    f = granular_pallas.contact_forces_sorted(
-        pos4, posc, cidc, off, min_dist, params.k_contact,
-        block=BLOCK, slab=SLAB, n_real=n, interpret=INTERP,
-        thin=True, civ=civ, mxu=True)
-    return (pos4 + 1e-30 * jnp.concatenate([f.T, cid_row]),
-            posc + 1e-30 * f)
-
-
-timeit("contact kernel mxu", kernel_mxu, pos40, posc0)
-
-
 # --- phase 4: fused spring kernel -------------------------------------------
 f0 = jnp.zeros_like(state.pos)
 

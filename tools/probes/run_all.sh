@@ -7,19 +7,24 @@ set -u
 cd "$(dirname "$0")/../.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 
+# Durable evidence (VERDICT r3 item 6): every probe log is also written
+# under docs/perf/<UTC date>/ so round numbers cite committed artifacts,
+# not /tmp files that die with the session.
+ARCHIVE="docs/perf/$(date -u +%Y-%m-%d)"
+mkdir -p "$ARCHIVE"
+
 run() {
   name=$1; log=$2; shift 2
   echo "=== $name $* start $(date)"
   python "tools/probes/$name.py" "$@" > "/tmp/probe_$log.log" 2>&1
-  echo "=== $name rc=$? end $(date)"
+  rc=$?
+  { echo "# $name $* @ $(date -u +%Y-%m-%dT%H:%M:%SZ) rc=$rc";
+    cat "/tmp/probe_$log.log"; } > "$ARCHIVE/$log.log"
+  echo "=== $name rc=$rc end $(date)"
 }
 
-# probe_mxu sections in SEPARATE processes: compiling many very large
-# programs with big ones resident is the known worker-crash pattern
-run probe_mxu mxu_g g
-run probe_mxu mxu_g2 g2
-run probe_mxu mxu_sc sc
-run probe_mxu mxu_micro micro
+# each probe in its own process: compiling many very large programs
+# with big ones resident is the known worker-crash pattern
 run probe_sc_phase sc_phase_b256 256 640
 run probe_sc_phase sc_phase_b512 512 1280
 run probe_fid32 probe_fid32
@@ -29,8 +34,6 @@ run probe_grad probe_grad
 run probe_grad probe_grad128 128
 # session-5 diff paths (granular 1M + self-collide 256^2 grad rates)
 run probe_grad2 probe_grad2
-# session-7: SC contact-kernel fixed-vs-math decomposition + multi-block
-# (rpb) wide-slab mode on both headline broad-phase workloads
+# session-7: SC contact-kernel fixed-vs-math (slab-width) decomposition
 run probe_sc4 probe_sc4
-run probe_rpb probe_rpb
 echo "ALL PROBES DONE $(date)"

@@ -228,8 +228,7 @@ def substep_self_collide(state: ClothState, params: ClothParams,
 def _self_collide_block(state: ClothState, params: ClothParams,
                         dt: jnp.ndarray, length: int, grid_spec,
                         block: int, slab: int, interpret: bool,
-                        use_kernel: bool = True, stats: bool = False,
-                        mxu: bool = False, rpb: int = 1):
+                        use_kernel: bool = True, stats: bool = False):
     """Frozen-window self-collision: one broad-phase rebuild + ``length``
     substeps against it. The sort ORDER is frozen for the block;
     positions are re-gathered into it each substep (two [N] permutation
@@ -243,11 +242,9 @@ def _self_collide_block(state: ClothState, params: ClothParams,
        (``granular_pallas.build_windows(thin=True)`` — the cloth is a
        surface, so merged y/z column ranges hold ~a dozen candidates and
        the dense [B, S] passes drop from 9 to 3, which was ~⅔ of the
-       whole substep). Round-3 note: the MERGED single-slab mode was
-       measured SLOWER here (1.68 vs 1.08 ms/substep at 256²) — the
-       dx-triple hull spans ~2 x-slice populations, so its one slab is
-       as wide as the 3 per-dx slabs combined and the B pass fires on
-       most blocks; merge only pays for volumetric fills (granular),
+       whole substep). Refuted round-3 variants (merged single-slab,
+       MXU pair math, rpb wide slabs) were measured losses here and
+       removed in round 4 — findings in docs/kernels.md,
     3. permute pair forces back and run springs + f_self + integrate +
        pins as ONE fused VMEM-resident kernel
        (``cloth_pallas.substep_with_force``) instead of the ~1 ms XLA
@@ -267,18 +264,10 @@ def _self_collide_block(state: ClothState, params: ClothParams,
     flat_vel = state.vel.reshape(3, n)
     origin = jnp.min(flat_pos, axis=1) - grid_spec.cell_size
     grid = broadphase.build_sorted_grid(flat_pos, flat_vel, grid_spec, origin)
-    gran = rpb * block
-    wide = slab + rpb * block if rpb > 1 else None
-    n_pad = -(-max(n, slab if rpb == 1 else wide) // gran) * gran
+    n_pad = -(-max(n, slab) // block) * block
     civ = granular_pallas.civ_bounds(grid_spec, thin=True)
-    woff = None
-    if rpb > 1:
-        cidf, off, woff, dropped = granular_pallas.build_offsets_civ(
-            grid, grid_spec, block, slab, n_pad, thin=True, stats=stats,
-            rpb=rpb, wide=wide)
-    else:
-        cidf, off, dropped = granular_pallas.build_offsets_civ(
-            grid, grid_spec, block, slab, n_pad, thin=True, stats=stats)
+    cidf, off, dropped = granular_pallas.build_offsets_civ(
+        grid, grid_spec, block, slab, n_pad, thin=True, stats=stats)
     cidc = cidf[:, None]
     cid_row = cidf[None, :]
     order = grid.order
@@ -298,7 +287,7 @@ def _self_collide_block(state: ClothState, params: ClothParams,
         f_sorted = granular_pallas.contact_forces_sorted(
             pos4, posc, cidc, off, min_dist, params.k_contact,
             block=block, slab=slab, n_real=n, interpret=interpret,
-            thin=True, civ=civ, mxu=mxu, rpb=rpb, woff=woff, wide=wide)
+            thin=True, civ=civ)
         f_self = f_sorted[:n].T[:, inv].reshape(3, h, w)
         if use_kernel:
             return cloth_pallas.substep_with_force(
@@ -319,8 +308,7 @@ def _self_collide_block(state: ClothState, params: ClothParams,
                                              "rebuild_every", "pallas_block",
                                              "pallas_slab", "interpret",
                                              "return_stats",
-                                             "use_spring_kernel", "mxu",
-                                             "rpb"))
+                                             "use_spring_kernel"))
 def multi_step_self_collide(state: ClothState, params: ClothParams,
                             dt: jnp.ndarray, n_steps: int, grid_spec,
                             rebuild_every: int = 1,
@@ -328,19 +316,8 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
                             pallas_slab: Optional[int] = None,
                             interpret: Optional[bool] = None,
                             return_stats: bool = False,
-                            use_spring_kernel: Optional[bool] = None,
-                            mxu: bool = False, rpb: int = 1):
+                            use_spring_kernel: Optional[bool] = None):
     """``n_steps`` self-colliding substeps (BASELINE configs[3]).
-
-    ``rpb`` (rows-blocks per program): >1 routes the contact kernel
-    through the multi-block wide-slab mode — one wide A/B slab DMA per
-    group per ``rpb`` consecutive blocks instead of per block.
-    Bitwise-equal to ``rpb=1`` whenever the wide slabs cover every
-    block's window (check with ``return_stats``; clipped coverage is
-    COUNTED as dropped). MEASURED SLOWER at the tuned 256² config
-    (1.79 -> 1.86-2.15 ms/substep, tools/probes/probe_rpb.py): the
-    kernel sits near its VPU dense-math floor, not issue-bound — see
-    ``ops.granular_pallas._pair_force_phase_civ_rpb``. Off by default.
 
     ``rebuild_every=1`` (default) rebuilds the spatial hash every substep
     (exact, XLA sorted-window path). ``rebuild_every=K>1`` freezes the
@@ -389,7 +366,7 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
         s, d = _self_collide_block(s, params, dt, k, grid_spec,
                                    pallas_block, pallas_slab, interpret,
                                    use_kernel=use_spring_kernel,
-                                   stats=return_stats, mxu=mxu, rpb=rpb)
+                                   stats=return_stats)
         return (s, jnp.maximum(dmax, d)), None
 
     dmax = jnp.int32(0)
@@ -400,7 +377,7 @@ def multi_step_self_collide(state: ClothState, params: ClothParams,
         state, d = _self_collide_block(state, params, dt, rem, grid_spec,
                                        pallas_block, pallas_slab, interpret,
                                        use_kernel=use_spring_kernel,
-                                       stats=return_stats, mxu=mxu, rpb=rpb)
+                                       stats=return_stats)
         dmax = jnp.maximum(dmax, d)
     return (state, dmax) if return_stats else state
 
@@ -615,19 +592,19 @@ def multi_step_diff(state: ClothState, params: ClothParams, dt: jnp.ndarray,
     (its WGSL pipeline has no gradient story) — same surplus class as the
     parallel/datagen layers, SURVEY §5.
 
-    The grad kernel's budget is tighter than the forward kernel's
-    100k-particle limit: the reverse-walk kernel re-linearizes all 12
-    spring families per substep and its live set of [h, w] temporaries
-    OOMs scoped VMEM at 256² on v5e (40.9M vs the 16M limit — measured,
-    tools/probes/probe_grad.py), while 128² compiles and runs at
-    2.2e8 particle-steps/s ≈ 1.6× the XLA+checkpoint path. Hence the
-    kernel path caps at 128² (16,384 particles) and larger grids take
-    the XLA fallback.
+    Backward routing by grid size (round 4 — VERDICT r3 item 4):
+    up to 128² the whole-plane reverse-walk kernel (2.2e8
+    particle-steps/s on v5e); up to 256² (the flagship grid) the BANDED
+    transpose kernel — per-substep re-linearization over ~8k-particle
+    row bands with an 8-row halo, fixing the whole-plane kernel's 40.9M
+    scoped-VMEM blow-up at 256² (tools/probes/probe_grad.py); beyond
+    256² the whole-grid VMEM carries themselves outgrow the budget and
+    the XLA fallback takes over.
     """
     from ..ops import cloth_pallas, cloth_pallas_grad
 
     h, w = state.pos.shape[-2:]
-    if h * w > cloth_pallas_grad._GRAD_VMEM_PARTICLE_LIMIT:
+    if h * w > cloth_pallas_grad._GRAD_BANDED_PARTICLE_LIMIT:
         seg_step = jax.checkpoint(lambda s: substep(s, params, dt))
         out, _ = jax.lax.scan(lambda s, _: (seg_step(s), None), state, None,
                               length=n_steps)

@@ -54,23 +54,9 @@ class GranularConfig:
     rebuild_every: int = 8           # substeps per neighbor-list rebuild
     pallas_block: int = 128          # sorted particles per kernel block
     pallas_slab: int = 384           # slab width (candidates per group)
-    sub_block: int = 0               # >0: kernel v3 per-sub-block views
-    # (e.g. 32): dense pair math shrinks from [block, slab] to
-    # block/sub_block × [sub_block, 128] per group — measured a wash on
-    # v5e (static-roll chains ≈ saved lanes) and sub-hulls straddling
-    # cell-column jumps land in the dropped telemetry; kept as an option
     pipeline: bool = True            # cross-block slab-DMA double
     # buffering: block b prefetches block b+1's slabs before its math —
     # hides the DMA latency that is ~40% of the dense kernel's time
-    # (ignored when sub_block > 0)
-    merge: bool = False              # merged-slab kernel (round 3): one
-    # A/B slab pair per dx-triple of window ranges (3 DMA groups instead
-    # of 9) with z-free column windows — cuts both the per-block DMA
-    # issue cost and the rebuild's window gathers (see
-    # ops.granular_pallas.build_windows). Size pallas_slab to the
-    # dx-triple hull (~3 y-columns + block span) and watch dropped.
-    # Measured a LOSS at 1M settled piles (columns concentrate, the
-    # merged hull outgrows the slab); kept for sparse regimes.
     civ: bool = True                 # cid-interval validity (round 3):
     # the kernel tests candidate validity on cid DIFFERENCES (the cid
     # plane rides in the slab DMA) instead of per-particle window
@@ -79,14 +65,7 @@ class GranularConfig:
     # irreducible — the dominant rebuild cost at 1M). With
     # return_stats=True the exact dropped-entry count is still computed
     # (paying those gathers); the fast path reports a nonzero-iff-real
-    # indicator. Ignored when sub_block or merge is set.
-    mxu: object = False              # MXU pair math (round 3, CIV only):
-    # True = d2 via |p'|²+|q'|²-2p'·q' matmul + force sums via W·[q',1]
-    # matmul (see ops.granular_pallas._pair_force_phase_civ) — ~2/3 less
-    # VPU work per candidate; d2 carries ~1 ulp of the slab extent² (up
-    # to ~1e-3 relative contact-distance error for near-threshold
-    # pairs). "sums" = hybrid: exact VPU d2/w (bit-identical weights),
-    # only the force-sum reductions ride the MXU.
+    # indicator.
     thin: bool = False               # 3-group CIV (round 3): one cid
     # interval dx·D ± (d2+1) per dx instead of 9 per-(dx,dy) intervals —
     # a superset whose extras fail the distance test (exact +0.0
@@ -96,19 +75,10 @@ class GranularConfig:
     # issues) at the cost of slabs sized to ~3 y-columns + block span;
     # wins when columns are shallow, loses in deep piles. Size
     # pallas_slab accordingly and watch dropped. CIV only.
-    rpb: int = 1                     # rows-blocks per program (round 3,
-    # CIV only): >1 = multi-block kernel mode — each program covers rpb
-    # consecutive sorted blocks with ONE wide A/B slab DMA per group
-    # (wide = slab + rpb·block) instead of per-block slabs, dividing the
-    # kernel's fixed per-block cost (DMA issues + program overhead — the
-    # dominant share at the tuned configs; tools/probes/probe_sc4.py)
-    # by rpb with dense pair math unchanged. Bitwise-equal to rpb=1
-    # while the wide slabs cover every block (clipped coverage counts
-    # in dropped). Needs block % 128 == 0; rpb must divide 8 or be a
-    # multiple of 8. MEASURED a wash at the tuned 1M config (27.0 ->
-    # 27.6 ms/step, 0.5M drops at the auto wide — probe_rpb.py): the
-    # kernel is math/bandwidth-bound there, not issue-bound; see
-    # ops.granular_pallas._pair_force_phase_civ_rpb. Off by default.
+    # NOTE refuted round-3 experiments (sub_block views, merged slabs,
+    # MXU pair math, rpb multi-block wide slabs) were removed in round 4
+    # — measured losses/washes on both production workloads; findings
+    # preserved in docs/kernels.md "Refuted kernel experiments".
 
     @property
     def skin_value(self) -> float:
@@ -266,54 +236,30 @@ def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
     grid = broadphase.build_sorted_grid(pos, vel, spec)
     n = pos.shape[-1]
     block, slab = config.pallas_block, config.pallas_slab
-    rpb = config.rpb
-    wide = slab + rpb * block if rpb > 1 else None
-    # padded size: a multiple of block (of rpb*block in multi-block
-    # mode) that also fits one (wide) slab — the slab DMA source must
-    # cover [0, slab) even for tiny n
-    gran = rpb * block
-    n_pad = -(-max(n, slab if rpb == 1 else wide) // gran) * gran
-    views = None
-    woff = None
+    # padded size: a multiple of block that also fits one slab — the
+    # slab DMA source must cover [0, slab) even for tiny n
+    n_pad = -(-max(n, slab) // block) * block
     civ = None
     # CIV needs dims >= 3 on every axis (border-wrap safety in
     # civ_bounds); tiny grids fall back to the window formulation, which
     # handles them — instead of tripping civ_bounds' assert at trace time
-    civ_ok = (config.civ and not config.merge and not config.sub_block
-              and min(spec.dims) >= 3)
-    # thin and mxu live only in the CIV kernel phase — anywhere else they
-    # would be silently ignored (wrong slab sizing, wrong perf, no error)
+    civ_ok = config.civ and min(spec.dims) >= 3
+    # thin lives only in the CIV kernel phase — anywhere else it would
+    # be silently ignored (wrong slab sizing, wrong perf, no error)
     if config.thin and not civ_ok:
         raise ValueError(
-            "thin=True requires civ=True without merge/sub_block and a "
-            f"grid with dims >= 3 on every axis (got {spec.dims})")
-    if config.mxu and not civ_ok:
-        raise ValueError(
-            "mxu requires civ=True without merge/sub_block and a grid "
-            f"with dims >= 3 on every axis (got {spec.dims})")
-    if rpb > 1 and not civ_ok:
-        raise ValueError(
-            "rpb > 1 requires civ=True without merge/sub_block and a "
-            f"grid with dims >= 3 on every axis (got {spec.dims})")
-    if config.sub_block:
-        windows, slab_start, views, dropped = granular_pallas.build_windows(
-            grid, spec, block, slab, n_pad, sub_block=config.sub_block)
-    elif civ_ok:
+            "thin=True requires civ=True and a grid with dims >= 3 on "
+            f"every axis (got {spec.dims})")
+    if civ_ok:
         civ = granular_pallas.civ_bounds(spec, thin=config.thin)
-        if rpb > 1:
-            cidf, slab_start, woff, dropped = (
-                granular_pallas.build_offsets_civ(
-                    grid, spec, block, slab, n_pad, thin=config.thin,
-                    stats=stats, rpb=rpb, wide=wide))
-        else:
-            cidf, slab_start, dropped = granular_pallas.build_offsets_civ(
-                grid, spec, block, slab, n_pad, thin=config.thin,
-                stats=stats)
+        cidf, slab_start, dropped = granular_pallas.build_offsets_civ(
+            grid, spec, block, slab, n_pad, thin=config.thin,
+            stats=stats)
         windows = cidf[:, None]                    # [n_pad, 1] cid column
         cid_row = cidf[None, :]
     else:
         windows, slab_start, dropped = granular_pallas.build_windows(
-            grid, spec, block, slab, n_pad, merge=config.merge)
+            grid, spec, block, slab, n_pad)
     pad = n_pad - n
     # pad slots have empty windows and are never referenced by real
     # windows (ends <= n); park them outside the box and freeze them
@@ -338,10 +284,7 @@ def _run_block_pallas(pos: jnp.ndarray, vel: jnp.ndarray,
         posc, velc = granular_pallas.substep_sorted(
             pos4, posc, velc, windows, slab_start, pvec,
             block=block, slab=slab, n_real=n, interpret=interpret,
-            sub_block=config.sub_block, views=views,
-            pipelined=config.pipeline and not config.sub_block,
-            merge=config.merge, civ=civ, mxu=config.mxu,
-            rpb=rpb if civ else 1, woff=woff, wide=wide)
+            pipelined=config.pipeline, civ=civ)
         return (posc, velc), None
 
     (posc, velc), _ = jax.lax.scan(inner, (posc, velc), None, length=length)
@@ -596,18 +539,14 @@ def multi_step_diff(state: ParticleState, config: GranularConfig,
     (``multi_step(..., return_stats=True)`` telemetry) or the force
     Jacobian loses its symmetry on the dropped pairs.
 
-    Requires the CIV kernel path (default config); ``mxu`` is not
-    supported here (the JVP kernel differentiates the exact VPU pair
-    expressions).
+    Requires the CIV kernel path (default config) — the JVP kernel
+    differentiates the exact VPU pair expressions.
     """
     spec = config.grid_spec()
-    if not (config.civ and not config.merge and not config.sub_block
-            and min(spec.dims) >= 3):
+    if not (config.civ and min(spec.dims) >= 3):
         raise ValueError(
-            "multi_step_diff needs the CIV kernel path: civ=True without "
-            f"merge/sub_block, grid dims >= 3 (got {spec.dims})")
-    if config.mxu:
-        raise ValueError("multi_step_diff does not support mxu modes")
+            "multi_step_diff needs the CIV kernel path: civ=True and "
+            f"grid dims >= 3 (got {spec.dims})")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kc = config.k_contact if k_contact is None else k_contact

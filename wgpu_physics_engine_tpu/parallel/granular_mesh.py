@@ -120,8 +120,8 @@ def multi_step_sharded(state: ParticleState, config: GranularConfig,
 
     ``state.pos``/``state.vel`` are ``[3, N]`` with the particle axis
     sharded (contiguous chunks per device; ``N % mesh.shape[axis] == 0``).
-    Requires the CIV kernel path (``config.civ`` without
-    ``merge``/``sub_block`` — the default); ``thin``/``mxu`` compose.
+    Requires the CIV kernel path (``config.civ``, the default);
+    ``thin`` composes.
 
     With ``return_stats=True`` also returns the worst per-rebuild dropped
     count (same contract as ``granular.multi_step``).
@@ -131,12 +131,11 @@ def multi_step_sharded(state: ParticleState, config: GranularConfig,
     if n % num_d:
         raise ValueError(f"N={n} not divisible by {num_d} devices")
     spec = config.grid_spec()
-    civ_ok = (config.civ and not config.merge and not config.sub_block
-              and min(spec.dims) >= 3)
+    civ_ok = config.civ and min(spec.dims) >= 3
     if not civ_ok:
         raise ValueError(
-            "multi_step_sharded needs the CIV kernel path: civ=True "
-            f"without merge/sub_block, grid dims >= 3 (got {spec.dims})")
+            "multi_step_sharded needs the CIV kernel path: civ=True, "
+            f"grid dims >= 3 (got {spec.dims})")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     civ = granular_pallas.civ_bounds(spec, thin=config.thin)
@@ -194,7 +193,7 @@ def multi_step_sharded(state: ParticleState, config: GranularConfig,
                 posc_l, velc_l = granular_pallas.substep_sorted(
                     pos4, posc_l, velc_l, win_l, off_l, pvec,
                     block=block, slab=slab, n_real=n, interpret=interpret,
-                    civ=civ, mxu=config.mxu)
+                    civ=civ)
                 # refresh the slab-DMA source: positions only
                 posc_full = jax.lax.all_gather(posc_l, axis, axis=0,
                                                tiled=True)
