@@ -18,6 +18,8 @@ Two gradient oracles, by design:
   smooth regime is the honest comparison.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -211,3 +213,51 @@ def test_newton_step_recovers_gravity(setup):
     g_star = g0 - (y0 - target_y) / dy
     y_star = rollout(g_star)
     assert abs(float(y_star) - 36.0) < 1e-3
+
+
+def test_banded_backward_matches_whole_plane(setup):
+    """The banded transpose kernel (round 4 — the 256²-capable path) must
+    match the whole-plane kernel: primal bitwise (same forward), grads to
+    fp32 band-reassociation noise (band vjps accumulate overlapping halo
+    contributions in a different association than one whole-plane vjp).
+    H=12 with band=8 exercises an uneven last band (rows 8..12) plus the
+    halo overlap across the band seam; contact branches are active."""
+    params, contact, _, wp, wv = setup
+
+    def loss(fn, pos, vel):
+        out = fn(contact._replace(pos=pos, vel=vel), params, DT, 12)
+        return jnp.sum(out.pos * wp) + jnp.sum(out.vel * wv)
+
+    f_whole = functools.partial(cpg.multi_step, segment=6)
+    f_band = functools.partial(cpg.multi_step, segment=6, band=8)
+    lw, gw = jax.value_and_grad(lambda p, v: loss(f_whole, p, v),
+                                argnums=(0, 1))(contact.pos, contact.vel)
+    lb, gb = jax.value_and_grad(lambda p, v: loss(f_band, p, v),
+                                argnums=(0, 1))(contact.pos, contact.vel)
+    assert np.array_equal(np.asarray(lw), np.asarray(lb))
+    assert _max_rel(gb[0], gw[0]) < 1e-4
+    assert _max_rel(gb[1], gw[1]) < 1e-4
+
+
+def test_banded_backward_with_pins_and_params(setup):
+    """Banded path with pins: pin_pos cotangents and the 16 parameter
+    cotangents must match the whole-plane kernel at reassociation
+    tolerance (they accumulate per band in SMEM)."""
+    params, contact, _, wp, _ = setup
+    pinm = np.zeros((H, W), bool)
+    pinm[0, :] = True
+    pinned = contact._replace(pin_mask=jnp.asarray(pinm),
+                              pin_pos=contact.pos)
+
+    def loss(band, pp, pms):
+        out = cpg.multi_step(pinned._replace(pin_pos=pp), pms, DT, 10,
+                             segment=5, band=band)
+        return jnp.sum(out.pos * wp)
+
+    gw = jax.grad(loss, argnums=(1, 2))(None, pinned.pin_pos, params)
+    gb = jax.grad(loss, argnums=(1, 2))(8, pinned.pin_pos, params)
+    assert _max_rel(gb[0], gw[0]) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(gb[1]),
+                    jax.tree_util.tree_leaves(gw[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

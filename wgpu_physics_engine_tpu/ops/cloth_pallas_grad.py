@@ -61,12 +61,23 @@ from . import cloth_pallas as cp
 _EPS = cp._EPS
 _NP = cp._NP
 
-# The reverse-walk kernel's live set of [h, w] temporaries (12-family
-# re-linearization per substep) OOMs the 16M scoped-VMEM limit at 256²
-# on v5e (40.9M measured — tools/probes/probe_grad.py); 128² fits and
-# runs at 2.2e8 particle-steps/s. models/cloth.multi_step_diff routes
-# larger grids to the XLA + jax.checkpoint fallback.
+# The WHOLE-PLANE reverse-walk kernel's live set of [h, w] temporaries
+# (per-family re-linearization per substep) OOMs the 16M scoped-VMEM
+# limit at 256² on v5e (40.9M measured — tools/probes/probe_grad.py);
+# 128² fits and runs at 2.2e8 particle-steps/s. Grids above this limit
+# route to the BANDED transpose kernel (round 4, VERDICT r3 item 4):
+# same reverse walk, but each substep's re-linearization runs over row
+# bands with an 8-row halo, so the temporary live set scales with
+# band·w instead of h·w while the cotangent carry (cheap: 6 planes)
+# stays whole-grid in VMEM.
 _GRAD_VMEM_PARTICLE_LIMIT = 16_384
+# Banded path cap: the whole-grid carries (padded state + two padded
+# cotangent buffers + the substep's traj block) are ~8 MB at 256²; 512²
+# doubles that past scoped VMEM -> XLA + jax.checkpoint fallback.
+_GRAD_BANDED_PARTICLE_LIMIT = 65_536
+_BAND_PAD = 8    # sublane-aligned halo: bands slice [jB-8, jB+B+8) of a
+# zero-padded [h + 16, w] plane; the stencil needs only ±2 rows, the
+# other 6 keep every slice 8-row aligned for Mosaic
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +334,171 @@ def _bwd_kernel(params_ref, traj_ref, pinm_ref, pinpos_ref, ctpos_ref,
             out_ctprm[j] = acc_ref[j]
 
 
+def _band_masks(h, w, dr, dc, g0, hh):
+    """Edge-validity mask for a row-band slice: row ``l`` of the slice is
+    GLOBAL row ``g0 + l`` (negative / >= h on the zero-pad rows). Same
+    conditions as ``cloth_pallas._family_masks`` plus ``rows >= 0`` —
+    the full-plane kernel gets that bound for free from cyclic wraparound
+    masking, a band slice must state it."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hh, w), 0) + g0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hh, w), 1)
+    ok = (rows >= 0) & (rows < (h - dr))
+    if dc >= 0:
+        ok = ok & (cols < (w - dc))
+    else:
+        ok = ok & (cols >= -dc)
+    return ok
+
+
+def _band_family_force(x, y, z, vx, vy, vz, kk, cc, rr, *, dr, dc, ok,
+                       hh, w, lo, nrows):
+    """One family's force contribution restricted to a band's INTERIOR
+    rows ``[lo, lo+nrows)`` of a halo slice of height ``hh`` — the unit
+    the banded backward re-linearizes. Interior rows only ever read
+    rows ``[lo - 2, lo + nrows + 2)`` of the slice (|dr| <= 2), so the
+    8-row halo keeps every access in-slice; the cyclic-roll wraparound
+    rows land outside the interior and are discarded by the slice."""
+    gx, gy, gz = _family_force(x, y, z, vx, vy, vz, kk, cc, rr,
+                               dr=dr, dc=dc, ok=ok, h=hh, w=w)
+    return (gx[lo:lo + nrows], gy[lo:lo + nrows], gz[lo:lo + nrows])
+
+
+def _bwd_kernel_banded(params_ref, traj_ref, pinm_ref, pinpos_ref,
+                       ctpos_ref, ctvel_ref, out_ctpos, out_ctvel,
+                       out_ctpin, out_ctprm, *scratch, h, w, n_steps,
+                       use_pins, band):
+    """Banded transpose kernel (round 4): identical math to
+    :func:`_bwd_kernel`, but each substep's re-linearization runs over
+    row bands of ``band`` rows with an ``_BAND_PAD``-row halo, so the
+    live temporary set is ``O(band·w)`` instead of ``O(h·w)`` — the
+    whole-plane kernel's 40.9 MB VMEM blow-up at 256². The cotangent
+    carry and the substep's primal state stay whole-grid in VMEM
+    (cheap: ~1.7 MB/plane-set at 256²), zero-padded by ``_BAND_PAD``
+    rows top and bottom so every band's halo slice is in-range and
+    8-row aligned; ``_band_masks``'s global-row bounds zero every
+    pad-row contribution.
+
+    Band accumulation: bands READ the old cotangent (``ct_scr``) and
+    ACCUMULATE into a separate new-cotangent buffer (``ctn_scr``) —
+    neighboring bands' family vjps overlap by up to 2 rows, and band
+    j's writes must not corrupt band j+1's reads.
+    """
+    P = _BAND_PAD
+    i = pl.program_id(0)
+    st_scr, ct_scr, ctn_scr = scratch[0], scratch[1], scratch[2]
+    pin_scr = scratch[3] if use_pins else None
+    acc_ref = scratch[-1]
+    scal = _unpack_scal(params_ref)
+    k, c, rest = scal[0], scal[1], scal[2]
+    zero_pad_plane = jnp.zeros((P, w), jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(6):
+            st_scr[j, 0:P] = zero_pad_plane
+            st_scr[j, P + h:] = zero_pad_plane
+            ct_scr[j, 0:P] = zero_pad_plane
+            ct_scr[j, P + h:] = zero_pad_plane
+        for j in range(3):
+            ct_scr[j, P:P + h] = ctpos_ref[j]
+            ct_scr[3 + j, P:P + h] = ctvel_ref[j]
+            if use_pins:
+                pin_scr[j] = jnp.zeros((h, w), jnp.float32)
+        for j in range(_NP):
+            acc_ref[j] = 0.0
+
+    # primal state entering substep t = n_steps-1-i (reverse BlockSpec)
+    for j in range(6):
+        st_scr[j, P:P + h] = traj_ref[0, j]
+    for j in range(6):
+        ctn_scr[j] = jnp.zeros((h + 2 * P, w), jnp.float32)
+
+    pinm = pinm_ref[...] if use_pins else None
+
+    n_bands = -(-h // band)
+    for jb in range(n_bands):
+        a = jb * band
+        nb = min(band, h - a)
+        hh = nb + 2 * P
+        # halo slice: padded rows [a, a + hh) <=> global rows
+        # [a - P, a + nb + P)
+        g0 = a - P
+        xh, yh, zh = (st_scr[j, a:a + hh] for j in range(3))
+        vxh, vyh, vzh = (st_scr[3 + j, a:a + hh] for j in range(3))
+        intr = slice(P, P + nb)
+        xi, yi, zi = xh[intr], yh[intr], zh[intr]
+        vxi, vyi, vzi = vxh[intr], vyh[intr], vzh[intr]
+
+        fams = []
+        for dr, dc, t in cp._FAMILIES:
+            fams.append((t, functools.partial(
+                _band_family_force, dr=dr, dc=dc,
+                ok=_band_masks(h, w, dr, dc, g0, hh), hh=hh, w=w,
+                lo=P, nrows=nb)))
+
+        # pass 1 (primal): band spring force, the integrate
+        # linearization point
+        fx = jnp.zeros((nb, w), jnp.float32)
+        fy = jnp.zeros((nb, w), jnp.float32)
+        fz = jnp.zeros((nb, w), jnp.float32)
+        for t, fam_fn in fams:
+            gx, gy, gz = fam_fn(xh, yh, zh, vxh, vyh, vzh, k[t], c[t],
+                                rest[t])
+            fx, fy, fz = fx + gx, fy + gy, fz + gz
+
+        # incoming cotangent for this band's rows (OLD carry)
+        ct_out = tuple(ct_scr[j, P + a:P + a + nb] for j in range(6))
+
+        pin_b = (pinm[a:a + nb] != 0.0) if use_pins else None
+        int_fn = functools.partial(_integrate_planes, pin=pin_b)
+        int_args = (xi, yi, zi, vxi, vyi, vzi, fx, fy, fz) + scal[3:]
+        if use_pins:
+            int_args = int_args + (pinpos_ref[0, a:a + nb],
+                                   pinpos_ref[1, a:a + nb],
+                                   pinpos_ref[2, a:a + nb])
+        _, vjp_int = jax.vjp(int_fn, *int_args)
+        cts = vjp_int(ct_out)
+        ctx, cty, ctz, ctvx, ctvy, ctvz, ctfx, ctfy, ctfz = cts[:9]
+        for j, s in enumerate(cts[9:15]):      # k_contact..min_dist
+            acc_ref[9 + j] = acc_ref[9 + j] + s
+        acc_ref[15] = acc_ref[15] + cts[15]    # dt
+        if use_pins:
+            for j in range(3):
+                pin_scr[j, a:a + nb] = pin_scr[j, a:a + nb] + cts[16 + j]
+        for j, v in enumerate((ctx, cty, ctz, ctvx, ctvy, ctvz)):
+            ctn_scr[j, P + a:P + a + nb] = (
+                ctn_scr[j, P + a:P + a + nb] + v)
+
+        # pass 2: per-family re-linearization against the band's force
+        # cotangent; input cotangents land on the halo slice
+        ctf = (ctfx, ctfy, ctfz)
+        for t, fam_fn in fams:
+            _, vjp_fam = jax.vjp(fam_fn, xh, yh, zh, vxh, vyh, vzh,
+                                 k[t], c[t], rest[t])
+            ax, ay, az, avx, avy, avz, ck, cc_, cr = vjp_fam(ctf)
+            for j, v in enumerate((ax, ay, az, avx, avy, avz)):
+                ctn_scr[j, a:a + hh] = ctn_scr[j, a:a + hh] + v
+            acc_ref[t] = acc_ref[t] + ck
+            acc_ref[3 + t] = acc_ref[3 + t] + cc_
+            acc_ref[6 + t] = acc_ref[6 + t] + cr
+
+    for j in range(6):
+        ct_scr[j] = ctn_scr[j]
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        for j in range(3):
+            out_ctpos[j] = ct_scr[j, P:P + h]
+            out_ctvel[j] = ct_scr[3 + j, P:P + h]
+        if use_pins:
+            for j in range(3):
+                out_ctpin[j] = pin_scr[j]
+        else:
+            out_ctpin[...] = jnp.zeros((3, 1, 1), jnp.float32)
+        for j in range(_NP):
+            out_ctprm[j] = acc_ref[j]
+
+
 # ---------------------------------------------------------------------------
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
@@ -364,10 +540,19 @@ def _trace_call(pos, vel, pinm, pinpos, pvec, *, h, w, n_steps, use_pins,
 
 
 def _bwd_call(traj, pinm, pinpos, ct_pos, ct_vel, pvec, *, h, w, n_steps,
-              use_pins, interpret):
-    kernel = functools.partial(_bwd_kernel, h=h, w=w, n_steps=n_steps,
-                               use_pins=use_pins)
-    scratch = [pltpu.VMEM((6, h, w), jnp.float32)]
+              use_pins, interpret, band=None):
+    if band:
+        kernel = functools.partial(_bwd_kernel_banded, h=h, w=w,
+                                   n_steps=n_steps, use_pins=use_pins,
+                                   band=band)
+        hp = h + 2 * _BAND_PAD
+        scratch = [pltpu.VMEM((6, hp, w), jnp.float32),   # padded primal
+                   pltpu.VMEM((6, hp, w), jnp.float32),   # ct carry
+                   pltpu.VMEM((6, hp, w), jnp.float32)]   # ct accumulator
+    else:
+        kernel = functools.partial(_bwd_kernel, h=h, w=w, n_steps=n_steps,
+                                   use_pins=use_pins)
+        scratch = [pltpu.VMEM((6, h, w), jnp.float32)]
     if use_pins:
         scratch.append(pltpu.VMEM((3, h, w), jnp.float32))
     scratch.append(pltpu.SMEM((_NP,), jnp.float32))
@@ -394,8 +579,16 @@ def _bwd_call(traj, pinm, pinpos, ct_pos, ct_vel, pvec, *, h, w, n_steps,
 # custom_vjp segment + public API
 # ---------------------------------------------------------------------------
 
+def _default_band(h, w):
+    """Band rows for the banded transpose kernel: ~8k particles per band
+    (live temporary set ≈ 620 B/particle — tools/probes/probe_grad.py —
+    so ~5 MB/band next to the ~8 MB of whole-grid carries), 8-row
+    aligned, at least 8."""
+    return max(8, min(h, (8192 // w) // 8 * 8))
+
+
 @functools.lru_cache(maxsize=None)
-def _segment_core(h, w, n_steps, use_pins, interpret):
+def _segment_core(h, w, n_steps, use_pins, interpret, band=None):
     fwd = functools.partial(_fwd_call, h=h, w=w, n_steps=n_steps,
                             use_pins=use_pins, interpret=interpret)
 
@@ -415,7 +608,8 @@ def _segment_core(h, w, n_steps, use_pins, interpret):
                            interpret=interpret)
         ctp, ctv, ctpin, ctprm = _bwd_call(
             traj, pinm, pinpos, ct_pos, ct_vel, pvec, h=h, w=w,
-            n_steps=n_steps, use_pins=use_pins, interpret=interpret)
+            n_steps=n_steps, use_pins=use_pins, interpret=interpret,
+            band=band)
         return ctp, ctv, jnp.zeros_like(pinm), ctpin, ctprm
 
     seg.defvjp(seg_fwd, seg_bwd)
@@ -424,7 +618,8 @@ def _segment_core(h, w, n_steps, use_pins, interpret):
 
 def multi_step(state: ClothState, params, dt, n_steps: int,
                segment: Optional[int] = None,
-               interpret: Optional[bool] = None) -> ClothState:
+               interpret: Optional[bool] = None,
+               band: Optional[int] = None) -> ClothState:
     """Differentiable ``n_steps`` fused substeps (drop-in for
     :func:`cloth_pallas.multi_step`, exact mode).
 
@@ -441,6 +636,11 @@ def multi_step(state: ClothState, params, dt, n_steps: int,
     one state per segment; the backward materializes ``segment`` substep
     states in HBM (``segment·6·H·W·4`` bytes). Default 64 ≈ 100 MB at
     256².
+
+    ``band``: row-band height for the BANDED transpose kernel (round 4).
+    ``None`` = auto: whole-plane transpose up to
+    ``_GRAD_VMEM_PARTICLE_LIMIT`` (128²), banded above it (~8k-particle
+    bands). Pass explicitly to force banding on small grids (tests).
     """
     if interpret is None:
         interpret = cp._default_interpret()
@@ -450,6 +650,8 @@ def multi_step(state: ClothState, params, dt, n_steps: int,
     if segment is None:
         segment = min(n_steps, 64)
     segment = min(segment, n_steps)
+    if band is None and h * w > _GRAD_VMEM_PARTICLE_LIMIT:
+        band = _default_band(h, w)
     use_pins = state.pin_mask is not None
     pvec = cp._pack_params(params, dt)
     if use_pins:
@@ -461,13 +663,13 @@ def multi_step(state: ClothState, params, dt, n_steps: int,
     n_seg, rem = divmod(n_steps, segment)
     pos, vel = state.pos, state.vel
     if n_seg:
-        core = _segment_core(h, w, segment, use_pins, interpret)
+        core = _segment_core(h, w, segment, use_pins, interpret, band)
 
         def body(c, _):
             return core(c[0], c[1], pinm, pinpos, pvec), None
 
         (pos, vel), _ = jax.lax.scan(body, (pos, vel), None, length=n_seg)
     if rem:
-        core_r = _segment_core(h, w, rem, use_pins, interpret)
+        core_r = _segment_core(h, w, rem, use_pins, interpret, band)
         pos, vel = core_r(pos, vel, pinm, pinpos, pvec)
     return state._replace(pos=pos, vel=vel)
