@@ -73,6 +73,55 @@ def batched_multi_step(state: ClothState, params: ClothParams, dt: jnp.ndarray,
     return jax.vmap(lambda s: cloth.multi_step(s, params, dt, n_steps))(state)
 
 
+def batched_self_collide_multi_step(state: ClothState, params: ClothParams,
+                                    dt: jnp.ndarray, n_steps: int, spec,
+                                    mesh: Mesh, axis: str = "worlds",
+                                    rebuild_every: int = 2,
+                                    pallas_block: int = 128,
+                                    pallas_slab: int = 128,
+                                    interpret=None,
+                                    use_spring_kernel=None) -> ClothState:
+    """Worlds-DP frozen-window SELF-COLLISION stepping (BASELINE
+    configs[3] distributed): each shard advances its worlds through
+    :func:`models.cloth.multi_step_self_collide` — per-substep slab-DMA
+    contact narrow phase + fused spring/integrate kernel — serially via
+    ``lax.map`` (scan, NOT vmap: the slab kernels carry SMEM operands
+    that don't vmap; sequential per-world launches are what one core
+    would execute anyway). No collectives in the step — worlds are
+    independent; ``params``/``dt`` enter as REPLICATED shard_map
+    operands (not closures) so the pattern stays differentiable the same
+    way :func:`batched_spatial_multi_step` is.
+
+    pos/vel: ``[B, 3, H, W]`` with B divisible by the mesh's ``axis``
+    size; optional per-world pins.
+    """
+    has_pins = state.pin_mask is not None
+    sp = P(axis)
+
+    def body(pos, vel, params, dt, *pins):
+        def one(args):
+            p, v, *pw = args
+            pinm, pinp = pw if has_pins else (None, None)
+            out = cloth.multi_step_self_collide(
+                ClothState(pos=p, vel=v, pin_mask=pinm, pin_pos=pinp),
+                params, dt, n_steps, spec, rebuild_every=rebuild_every,
+                pallas_block=pallas_block, pallas_slab=pallas_slab,
+                interpret=interpret,
+                use_spring_kernel=use_spring_kernel)
+            return out.pos, out.vel
+
+        return jax.lax.map(one, (pos, vel, *pins))
+
+    pin_args = (state.pin_mask, state.pin_pos) if has_pins else ()
+    pin_specs = (sp, sp) if has_pins else ()
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(sp, sp, P(), P(), *pin_specs),
+                  out_specs=(sp, sp), check_vma=False)
+    new_pos, new_vel = jax.jit(f)(state.pos, state.vel, params, dt,
+                                  *pin_args)
+    return state._replace(pos=new_pos, vel=new_vel)
+
+
 # ---------------------------------------------------------------------------
 # 2. Spatial sharding with halo exchange
 # ---------------------------------------------------------------------------
