@@ -39,10 +39,14 @@ def timeit(tag, fn, nw=NW):
     return r
 
 
-# physics only (24 substeps like the earlier probes)
+# physics only (24 substeps like the earlier probes). NOTE: jitted at
+# top level — the un-jitted call this probe used through round 3 paid
+# the axon tunnel's per-dispatch cost on every eager glue op of the
+# batched path (lane-fold padding etc.), which inflated the "physics"
+# line to 2-3.6 ms/world when the kernel itself is ~0.07.
 from wgpu_physics_engine_tpu.ops import cloth_pallas
-timeit("physics 24 substeps", lambda: cloth_pallas.multi_step(
-    batch.state, batch.params, dt, 24))
+phys = jax.jit(lambda s, p: cloth_pallas.multi_step(s, p, dt, 24))
+timeit("physics 24 substeps", lambda: phys(batch.state, batch.params))
 
 # step+render variants (24 substeps + render + uint8)
 timeit("s+r solid tex", lambda: datagen.step_and_render(
