@@ -27,13 +27,22 @@ tex_pack = T.pack_rgb8(tex_f32)
 solid = T.solid((0.3, 0.5, 0.7))
 
 
+def _sync(r):
+    # 4-byte fence: a full np.asarray would fetch the whole output over
+    # the 2-15 MB/s tunnel and time EGRESS, not compute (this inflated
+    # every round-3 reading of this probe by 2-5 ms/world — see
+    # tools/probes/probe_dg_split.py and bench._child_datagen)
+    leaf = jax.tree.leaves(r)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+
+
 def timeit(tag, fn, nw=NW):
-    np.asarray(jax.tree.leaves(fn())[0])[:1]
+    _sync(fn())
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         r = fn()
-        np.asarray(jax.tree.leaves(r)[0])[:1]
+        _sync(r)
         best = min(best, time.time() - t0)
     print(f"{tag:38s} {best:7.3f}s = {best/nw*1e3:6.2f} ms/world", flush=True)
     return r

@@ -422,7 +422,14 @@ def _lanes_kernel(params_ref, pos_ref, vel_ref, pinm_ref, pinpos_ref,
 # Lane-folded batched kernel sizing: cap the folded plane at the
 # flagship's footprint (256^2 = 64k f32 per plane fits in VMEM with all
 # stencil temporaries) and the lane extent at 4096.
-_LANES_PLANE_LIMIT = 65_536
+# 57,344 (56 KiB of lanes × 8 rows), NOT the flagship 65,536: at the
+# 60×60 datagen scene a 64×1024 folded plane (g=16) measured 16.12M of
+# scoped VMEM at 4096 worlds — 124 KB over the 16M limit (the identical
+# per-program shapes compiled fine at 512 worlds; Mosaic's buffering
+# differs with grid length). One group step down (g=14, 64×896) fits
+# with margin at every batch size, costing ~7% lane amortization on a
+# phase that is a small share of the datagen frame.
+_LANES_PLANE_LIMIT = 57_344
 _LANES_MAX_LANES = 4096
 
 

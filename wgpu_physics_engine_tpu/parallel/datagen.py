@@ -107,6 +107,11 @@ def globe_base_fbs(cameras: R.Camera, params: ClothParams,
     once per DATASET instead of once per frame; each frame then
     composites only the moving cloth spheres over the cached color+depth.
     Bit-identical compositing inputs — only cross-frame reuse changes.
+
+    Worlds are processed in chunks of 512 (``lax.map`` batches of the
+    vmapped render): one flat vmap over 4096 worlds allocates ~18 GB of
+    [B, 3, 256, 256] Phong temporaries and OOMs the 16 GB HBM (measured
+    round 4); per-512 chunks peak ~2.3 GB with identical outputs.
     """
     h, w = fb_size
 
@@ -114,7 +119,24 @@ def globe_base_fbs(cameras: R.Camera, params: ClothParams,
     def one(cam, radius):
         return R.draw_globe(R.clear(h, w), cam, radius, globe_tex, light)
 
-    return jax.vmap(one)(cameras, params.globe_radius)
+    n = cameras.view.shape[0]
+    chunk = 512
+    if n <= chunk:
+        return jax.vmap(one)(cameras, params.globe_radius)
+    n_full = n // chunk
+    head = jax.tree.map(lambda x: x[:n_full * chunk].reshape(
+        (n_full, chunk) + x.shape[1:]), cameras)
+    rad = params.globe_radius
+    rad_head = rad[:n_full * chunk].reshape(n_full, chunk)
+    out = jax.lax.map(lambda a: jax.vmap(one)(a[0], a[1]), (head, rad_head))
+    out = jax.tree.map(lambda x: x.reshape((n_full * chunk,) + x.shape[2:]),
+                       out)
+    if n % chunk:
+        tail = jax.vmap(one)(
+            jax.tree.map(lambda x: x[n_full * chunk:], cameras),
+            rad[n_full * chunk:])
+        out = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), out, tail)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "fb_size", "chunk",
