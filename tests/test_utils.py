@@ -177,3 +177,50 @@ def test_live_noninteractive_runs(capsys):
                 interactive=False)
     out = capsys.readouterr().out
     assert "fps" in out and "\x1b[38;2;" in out
+
+
+def test_parse_events_sgr_mouse():
+    """SGR 1006 mouse sequences decode into ('mouse', b, x, y, pressed)
+    tuples interleaved with key tokens; malformed sequences degrade to
+    characters; parse_keys drops mouse events (back-compat)."""
+    buf = (b"\x1b[<0;10;5M"          # left press at (10, 5)
+           b"q"
+           b"\x1b[<32;12;4M"         # left drag to (12, 4)
+           b"\x1b[<0;12;4m"          # release
+           b"\x1b[<64;1;1M"          # wheel up
+           b"\x1b[A")
+    ev = viewer.parse_events(buf)
+    assert ev == [("mouse", 0, 10, 5, True), "q",
+                  ("mouse", 32, 12, 4, True), ("mouse", 0, 12, 4, False),
+                  ("mouse", 64, 1, 1, True), "up"]
+    assert viewer.parse_keys(buf) == ["q", "up"]
+    # malformed: missing terminator / non-numeric fields -> plain chars
+    assert all(isinstance(e, str) for e in viewer.parse_events(b"\x1b[<0;x;2M"))
+
+
+def test_mouse_drag_orbits_scene():
+    """Left-drag orbits the camera (the reference's OrbitCamera mouse
+    input, cloth.rs:1497-1499) and the wheel zooms; release ends the
+    drag so the next press doesn't jump."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.models import scenes
+
+    s = scenes.ClothScene(config=cfg.ClothConfig(height=4, width=4),
+                          use_pallas=False)
+    drag = {}
+    th0, ph0, r0 = (s._orbit[k] for k in ("theta", "phi", "radius"))
+    viewer.handle_mouse(s, ("mouse", 0, 10, 5, True), drag)      # press
+    assert s._orbit["theta"] == th0                              # no jump
+    viewer.handle_mouse(s, ("mouse", 32, 13, 4, True), drag)     # drag
+    assert s._orbit["theta"] == pytest.approx(th0 + 0.04 * 3)
+    assert s._orbit["phi"] == pytest.approx(ph0 + 0.08)
+    viewer.handle_mouse(s, ("mouse", 0, 13, 4, False), drag)     # release
+    assert not drag
+    viewer.handle_mouse(s, ("mouse", 32, 20, 9, True), drag)     # new drag
+    th1 = s._orbit["theta"]
+    viewer.handle_mouse(s, ("mouse", 32, 20, 9, True), drag)
+    assert s._orbit["theta"] == th1                              # no motion
+    viewer.handle_mouse(s, ("mouse", 64, 1, 1, True), drag)      # wheel up
+    assert s._orbit["radius"] == pytest.approx(r0 * 0.9)
+    viewer.handle_mouse(s, ("mouse", 65, 1, 1, True), drag)      # wheel dn
+    assert s._orbit["radius"] == pytest.approx(r0 * 0.9 * 1.1)

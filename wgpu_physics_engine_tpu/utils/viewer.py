@@ -53,20 +53,68 @@ def ansi_frame(img: np.ndarray, max_cols: int = 80) -> str:
     return "\n".join(lines)
 
 
-def parse_keys(buf: bytes) -> list:
-    """Split raw terminal bytes into key tokens: 'up'/'down'/'left'/'right'
-    for the arrow escape sequences, else single characters."""
+def parse_events(buf: bytes) -> list:
+    """Split raw terminal bytes into input events.
+
+    Key tokens: 'up'/'down'/'left'/'right' for the arrow escape
+    sequences, else single characters. Mouse tokens (SGR 1006 mode,
+    ``ESC [ < b ; x ; y M|m``): tuples ``("mouse", b, x, y, pressed)``
+    with 1-based cell coordinates — emitted when the live loop has
+    enabled ``?1002`` button-motion tracking, giving the reference's
+    mouse-drag orbit + wheel zoom (OrbitCamera::input consumed at
+    cloth.rs:1497-1499) a terminal equivalent."""
     arrows = {b"A": "up", b"B": "down", b"C": "right", b"D": "left"}
-    keys, i = [], 0
+    events, i = [], 0
     while i < len(buf):
-        if buf[i:i + 1] == b"\x1b" and buf[i + 1:i + 2] == b"[" \
-                and buf[i + 2:i + 3] in arrows:
-            keys.append(arrows[buf[i + 2:i + 3]])
-            i += 3
-        else:
-            keys.append(chr(buf[i]))
-            i += 1
-    return keys
+        if buf[i:i + 1] == b"\x1b" and buf[i + 1:i + 2] == b"[":
+            if buf[i + 2:i + 3] in arrows:
+                events.append(arrows[buf[i + 2:i + 3]])
+                i += 3
+                continue
+            if buf[i + 2:i + 3] == b"<":
+                j = i + 3
+                while j < len(buf) and buf[j:j + 1] not in (b"M", b"m"):
+                    j += 1
+                if j < len(buf):
+                    try:
+                        b, x, y = (int(v) for v in
+                                   buf[i + 3:j].decode().split(";"))
+                        events.append(("mouse", b, x, y,
+                                       buf[j:j + 1] == b"M"))
+                        i = j + 1
+                        continue
+                    except ValueError:
+                        pass  # malformed sequence: fall through as chars
+        events.append(chr(buf[i]))
+        i += 1
+    return events
+
+
+def parse_keys(buf: bytes) -> list:
+    """Key tokens only (see :func:`parse_events`; mouse events dropped)."""
+    return [e for e in parse_events(buf) if isinstance(e, str)]
+
+
+def handle_mouse(scene, ev, drag: dict):
+    """Apply one mouse event: left-drag orbits (the reference's
+    OrbitCamera mouse input), wheel zooms. ``drag`` carries the last
+    drag position between events ({} when no button is down)."""
+    _, b, x, y, pressed = ev
+    motion = b & 32
+    btn = b & ~32 & ~4 & ~8 & ~16      # strip motion + modifier bits
+    if b in (64, 65):                   # wheel up / down
+        scene.orbit(d_radius=(-0.1 if b == 64 else 0.1)
+                    * scene._orbit["radius"])
+        return
+    if btn == 0 and pressed:            # left press or drag
+        if motion and "x" in drag:
+            # one terminal cell = two pixels vertically (half blocks),
+            # so d_phi per row is ~2x d_theta per column
+            scene.orbit(d_theta=0.04 * (x - drag["x"]),
+                        d_phi=0.08 * (drag["y"] - y))
+        drag["x"], drag["y"] = x, y
+    elif not pressed:
+        drag.clear()
 
 
 def handle_key(scene, key: str):
@@ -129,7 +177,7 @@ def handle_key(scene, key: str):
     return None
 
 
-_HELP = ("arrows orbit  +/- zoom  g/G gravity  t/T speed  l/L light  "
+_HELP = ("drag orbit  wheel zoom  arrows orbit  +/- zoom  g/G gravity  t/T speed  l/L light  "
          "s/S shin  k/K ks  x spec  d/D damp  r/R radius  space pause  q quit")
 
 
@@ -178,27 +226,38 @@ def live(scene, seconds: float = 5.0, fps: int = 10, size=(128, 128),
         old = termios.tcgetattr(fd)
         try:
             tty.setcbreak(fd)
+            # SGR mouse reporting: button-motion tracking (?1002) in the
+            # unambiguous ?1006 encoding — drag-to-orbit + wheel zoom,
+            # the reference's OrbitCamera mouse input (cloth.rs:1497-1499)
+            sys.stdout.write("\x1b[?1002h\x1b[?1006h")
+            sys.stdout.flush()
             yield
         finally:
+            sys.stdout.write("\x1b[?1002l\x1b[?1006l")
+            sys.stdout.flush()
             termios.tcsetattr(fd, termios.TCSADRAIN, old)
 
-    def _poll_keys():
+    def _poll_events():
         if not interactive:
             return []
-        keys = []
+        events = []
         while select.select([sys.stdin], [], [], 0)[0]:
-            buf = os.read(sys.stdin.fileno(), 64)
+            buf = os.read(sys.stdin.fileno(), 256)
             if not buf:
                 break
-            keys.extend(parse_keys(buf))
-        return keys
+            events.extend(parse_events(buf))
+        return events
 
     n = int(seconds * fps)
     paused = False
+    drag = {}
     with _cbreak():
         for i in range(n):
             t0 = _time.time()
-            for k in _poll_keys():
+            for k in _poll_events():
+                if isinstance(k, tuple):
+                    handle_mouse(scene, k, drag)
+                    continue
                 act = handle_key(scene, k)
                 if act == "pause":
                     paused = not paused
