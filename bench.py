@@ -59,6 +59,9 @@ SUBSTEPS = 30_000
 DT = 1.0 / 480.0
 
 _CHILD_ENV = "_WPE_BENCH_CHILD"
+_RESULTS_ENV = "_WPE_BENCH_RESULTS"    # side-channel file: the parent's
+# signal handler cannot safely drain the in-flight child's stdout pipe
+# (communicate() owns it), so children ALSO append each metric line here
 PREFLIGHT_S = 120
 CHILD_CAP_S = 420
 DEFAULT_BUDGET_S = 540.0
@@ -66,7 +69,16 @@ _TPU_CACHE = os.path.expanduser("~/.cache/wpe_tpu_cache")
 
 
 def _emit(obj) -> None:
-    print(json.dumps(obj), flush=True)
+    line = json.dumps(obj)
+    print(line, flush=True)
+    path = os.environ.get(_RESULTS_ENV)
+    if path:
+        try:
+            with open(path, "a") as f:
+                f.write(line + "\n")
+                f.flush()
+        except OSError:
+            pass  # the side channel is best-effort; stdout is canonical
 
 
 # ---------------------------------------------------------------------------
@@ -283,6 +295,20 @@ class _Bench:
         self.degraded: list = []
         self.proc: subprocess.Popen | None = None
         self.emitted = False
+        import tempfile
+        fd, self.results_path = tempfile.mkstemp(prefix="wpe_bench_",
+                                                 suffix=".jsonl")
+        os.close(fd)
+
+    def _merge_results_file(self) -> None:
+        """Fold in metrics the in-flight child streamed to the side
+        channel — the only safe source when a signal interrupts
+        communicate() (the pipe belongs to that call's reader threads)."""
+        try:
+            with open(self.results_path) as f:
+                self._merge_lines(f.read())
+        except OSError:
+            pass
 
     def remaining(self) -> float:
         return self.deadline - time.time()
@@ -292,6 +318,7 @@ class _Bench:
         if self.emitted:
             return
         self.emitted = True
+        self._merge_results_file()
         r = self.results
         # headline = the fidelity-contract (exact sqrt) kernel; if it ever
         # fails to compile, fall back to the XLA path — NEVER the fast_math
@@ -353,6 +380,7 @@ class _Bench:
             return "skipped"
         env = dict(os.environ)
         env[_CHILD_ENV] = name
+        env[_RESULTS_ENV] = self.results_path
         # persistent executable cache: reruns on the same host skip the big
         # compiles (the axon backend serializes fine — docs/performance.md)
         env.setdefault("JAX_COMPILATION_CACHE_DIR", _TPU_CACHE)

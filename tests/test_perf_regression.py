@@ -76,7 +76,11 @@ def test_cloth_kernel_regression_floor():
     assert rate >= 1.0e9, f"regression: {rate:.3e} particle-steps/s"
 
 
-_SCRIPT_R4 = r"""
+# NOTE: the grad and datagen measurements run in SEPARATE subprocesses —
+# compiling the one-jit datagen pipeline while the banded trace/transpose
+# kernels are resident is the documented worker-crash pattern (CLAUDE.md;
+# bench.py isolates its metrics for the same reason).
+_SCRIPT_GRAD = r"""
 import time
 import jax, jax.numpy as jnp
 import numpy as np
@@ -105,6 +109,13 @@ for _ in range(3):
     np.asarray(g[1][0][:1, :1, :1])
     best = min(best, time.time() - t0)
 print("GRAD_RATE", 256 * 256 * 480 / best)
+"""
+
+_SCRIPT_DATAGEN = r"""
+import time
+import jax, jax.numpy as jnp
+import numpy as np
+import wgpu_physics_engine_tpu as eng
 
 # --- datagen device pipeline (round 4): ms/world at 512 worlds ---
 from wgpu_physics_engine_tpu.parallel import codec, datagen
@@ -132,17 +143,10 @@ print("DATAGEN_MS", best / 512 * 1e3)
 """
 
 
-@pytest.mark.skipif(not _tpu_available(),
-                    reason="no TPU detected (set WPE_TPU_PERF=1 to force)")
-def test_round4_paths_regression_floor():
-    """Floors for the round-4 paths: the banded 256² backward kernel
-    (measured 5.8e8 particle-steps/s; floor at 3e8 — above the 2.15e8
-    XLA fallback, so a silent fallback FAILS this test) and the one-jit
-    datagen pipeline (measured 1.16 ms/world; generous 2.5 floor = the
-    VERDICT target)."""
+def _run_tpu_script(script):
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     try:
-        out = subprocess.run([sys.executable, "-c", _SCRIPT_R4], env=env,
+        out = subprocess.run([sys.executable, "-c", script], env=env,
                              capture_output=True, text=True, timeout=1500,
                              cwd=os.path.dirname(os.path.dirname(
                                  os.path.abspath(__file__))))
@@ -150,10 +154,27 @@ def test_round4_paths_regression_floor():
         pytest.skip("TPU subprocess exceeded 1500s — tunnel/worker wedged "
                     "or mid-recovery; rerun when the chip is healthy")
     assert out.returncode == 0, out.stderr[-2000:]
-    vals = {l.split()[0]: float(l.split()[1])
+    return {l.split()[0]: float(l.split()[1])
             for l in out.stdout.splitlines()
             if l.startswith(("GRAD_RATE", "DATAGEN_MS"))}
+
+
+@pytest.mark.skipif(not _tpu_available(),
+                    reason="no TPU detected (set WPE_TPU_PERF=1 to force)")
+def test_banded_grad_regression_floor():
+    """Banded 256² backward floor: 3e8 particle-steps/s — above the
+    2.15e8 XLA fallback, so a silent VMEM-triggered fallback FAILS
+    (measured 5.8e8)."""
+    vals = _run_tpu_script(_SCRIPT_GRAD)
     assert vals["GRAD_RATE"] >= 3.0e8, \
         f"banded-grad regression (or XLA fallback): {vals['GRAD_RATE']:.3e}"
+
+
+@pytest.mark.skipif(not _tpu_available(),
+                    reason="no TPU detected (set WPE_TPU_PERF=1 to force)")
+def test_datagen_regression_floor():
+    """One-jit datagen pipeline floor: 2.5 ms/world at 512 worlds (the
+    VERDICT target; measured 1.16)."""
+    vals = _run_tpu_script(_SCRIPT_DATAGEN)
     assert vals["DATAGEN_MS"] <= 2.5, \
         f"datagen regression: {vals['DATAGEN_MS']:.2f} ms/world"

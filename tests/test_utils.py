@@ -224,3 +224,19 @@ def test_mouse_drag_orbits_scene():
     assert s._orbit["radius"] == pytest.approx(r0 * 0.9)
     viewer.handle_mouse(s, ("mouse", 65, 1, 1, True), drag)      # wheel dn
     assert s._orbit["radius"] == pytest.approx(r0 * 0.9 * 1.1)
+
+
+def test_mouse_wheel_with_modifiers_still_zooms():
+    """Shift/ctrl-wheel (modifier bits 4/16 set) must zoom like plain
+    wheel — terminals often forward only modified wheel events when the
+    plain wheel is bound to scrollback."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.models import scenes
+
+    s = scenes.ClothScene(config=cfg.ClothConfig(height=4, width=4),
+                          use_pallas=False)
+    r0 = s._orbit["radius"]
+    viewer.handle_mouse(s, ("mouse", 68, 1, 1, True), {})   # shift-wheel up
+    assert s._orbit["radius"] == pytest.approx(r0 * 0.9)
+    viewer.handle_mouse(s, ("mouse", 81, 1, 1, True), {})   # ctrl-wheel dn
+    assert s._orbit["radius"] == pytest.approx(r0 * 0.9 * 1.1)

@@ -139,10 +139,6 @@ def globe_base_fbs(cameras: R.Camera, params: ClothParams,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "fb_size", "chunk",
-                                             "use_pallas", "as_uint8",
-                                             "batch_binned",
-                                             "use_raster_kernel"))
 @functools.partial(
     jax.jit, static_argnames=("n_steps", "light", "fb_size", "chunk",
                               "use_pallas", "as_uint8", "batch_binned",
@@ -166,11 +162,8 @@ def step_and_render(batch: WorldBatch, dt: jnp.ndarray, n_steps: int,
     viewpoints. Fully on-device; shard the batch over a ``worlds`` mesh
     axis to scale across chips.
 
-    The WHOLE pipeline is one jit (round 4): previously the top-level
-    glue (lane-fold padding, camera broadcasts, the vmapped binning
-    prologue, map packing) dispatched eagerly — dozens of small ops each
-    paying the axon tunnel's per-dispatch cost, which probe_dg3 recorded
-    as the unexplained ~1.5-1.8 ms/world of "codec/glue"."""
+    ``light`` is static (hashable frozen dataclass) so non-default
+    lights jit cleanly instead of failing pytree flattening."""
     batched_cam = camera.view.ndim == 3
     if use_pallas:
         from ..ops import cloth_pallas

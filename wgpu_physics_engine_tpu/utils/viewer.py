@@ -102,8 +102,9 @@ def handle_mouse(scene, ev, drag: dict):
     _, b, x, y, pressed = ev
     motion = b & 32
     btn = b & ~32 & ~4 & ~8 & ~16      # strip motion + modifier bits
-    if b in (64, 65):                   # wheel up / down
-        scene.orbit(d_radius=(-0.1 if b == 64 else 0.1)
+    if btn in (64, 65):                 # wheel up / down (any modifier —
+        # tmux/xterm forward shift-wheel when plain wheel is scrollback)
+        scene.orbit(d_radius=(-0.1 if btn == 64 else 0.1)
                     * scene._orbit["radius"])
         return
     if btn == 0 and pressed:            # left press or drag
