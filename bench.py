@@ -339,6 +339,10 @@ class _Bench:
         if self.degraded:
             out["degraded"] = self.degraded
         _emit(out)
+        try:   # side channel is merged; don't leave /tmp litter behind
+            os.unlink(self.results_path)
+        except OSError:
+            pass
 
     def _on_signal(self, signum, frame):
         print(f"# signal {signum}: flushing partial results",

@@ -50,30 +50,44 @@ def _tpu_available() -> bool:
     return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
 
 
+_PREFLIGHT: dict = {}
+
+
+def _tpu_preflight() -> str:
+    """One cheap shared health probe before any floor test spends its full
+    subprocess timeout: with a WEDGED axon worker every fresh python hangs
+    at interpreter start (sitecustomize register()), so each TPU-gated
+    test would independently burn its 1500 s timeout (~75 min of suite
+    stall). A tiny jax.devices() subprocess with a short timeout, cached
+    module-wide, turns that into one 180 s skip. Returns '' when healthy,
+    else the skip reason."""
+    if "reason" not in _PREFLIGHT:
+        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print('NDEV', len(jax.devices()))"],
+                env=env, capture_output=True, text=True, timeout=180)
+            if out.returncode == 0 and "NDEV" in out.stdout:
+                _PREFLIGHT["reason"] = ""
+            else:
+                _PREFLIGHT["reason"] = (
+                    "TPU preflight failed: " + out.stderr.strip()[-300:])
+        except subprocess.TimeoutExpired:
+            _PREFLIGHT["reason"] = (
+                "TPU preflight hung 180 s — axon tunnel/worker wedged; "
+                "rerun when the chip is healthy")
+    return _PREFLIGHT["reason"]
+
+
 @pytest.mark.skipif(not _tpu_available(),
                     reason="no TPU detected (set WPE_TPU_PERF=1 to force)")
 def test_cloth_kernel_regression_floor():
-    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-    try:
-        # generous timeout, and skip (don't fail) if it still trips:
-        # SIGKILLing a TPU client mid-compile/execution can crash the
-        # shared axon worker for HOURS (observed round 3) and a timeout
-        # here means the tunnel/worker is wedged — an environment
-        # condition, not a kernel perf regression (the floor assertion
-        # below is the actual regression check)
-        out = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
-                             capture_output=True, text=True, timeout=1500,
-                             cwd=os.path.dirname(os.path.dirname(
-                                 os.path.abspath(__file__))))
-    except subprocess.TimeoutExpired:
-        pytest.skip("TPU subprocess exceeded 1500s — tunnel/worker wedged "
-                    "or mid-recovery; rerun when the chip is healthy")
-    assert out.returncode == 0, out.stderr[-2000:]
-    rate = float([l for l in out.stdout.splitlines()
-                  if l.startswith("RATE")][0].split()[1])
+    vals = _run_tpu_script(_SCRIPT)
     # measured ~5.2e9 sustained on v5e (reads lower at short launches due
     # to the fixed dispatch cost); floor at the 1e9 BASELINE north star
-    assert rate >= 1.0e9, f"regression: {rate:.3e} particle-steps/s"
+    assert vals["RATE"] >= 1.0e9, \
+        f"regression: {vals['RATE']:.3e} particle-steps/s"
 
 
 # NOTE: the grad and datagen measurements run in SEPARATE subprocesses —
@@ -144,8 +158,21 @@ print("DATAGEN_MS", best / 512 * 1e3)
 
 
 def _run_tpu_script(script):
+    reason = _tpu_preflight()
+    if reason:
+        pytest.skip(reason)
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    # share bench.py's persistent TPU executable cache: repeat suite runs
+    # on the same host skip the 30-90 s compiles
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/wpe_tpu_cache"))
     try:
+        # generous timeout, and skip (don't fail) if it still trips:
+        # SIGKILLing a TPU client mid-compile/execution can crash the
+        # shared axon worker for HOURS (observed round 3) and a timeout
+        # here means the tunnel/worker is wedged — an environment
+        # condition, not a perf regression (the floor assertion is the
+        # actual regression check)
         out = subprocess.run([sys.executable, "-c", script], env=env,
                              capture_output=True, text=True, timeout=1500,
                              cwd=os.path.dirname(os.path.dirname(
@@ -156,7 +183,84 @@ def _run_tpu_script(script):
     assert out.returncode == 0, out.stderr[-2000:]
     return {l.split()[0]: float(l.split()[1])
             for l in out.stdout.splitlines()
-            if l.startswith(("GRAD_RATE", "DATAGEN_MS"))}
+            if l.startswith(("RATE", "GRAD_RATE", "DATAGEN_MS",
+                             "GRANULAR_RATE", "SC_RATE"))}
+
+
+# Granular 1M + self-collide 256² floors (round 5, VERDICT r4 item 4):
+# the two hardest-won secondary headline numbers (3.71e7 / 3.92e7) were
+# guarded only by bench.py — a kernel regression halving them would have
+# passed the suite. Same tuned schedules as bench.py's children; short
+# horizons (the floor is 3.0e7, far under the headline, so dispatch
+# overhead at short horizons doesn't matter).
+_SCRIPT_GRANULAR = r"""
+import time
+import jax, jax.numpy as jnp
+import numpy as np
+from wgpu_physics_engine_tpu.models import granular
+
+cfg = granular.GranularConfig(num_particles=1_000_000, rebuild_every=16,
+                              pallas_slab=640, thin=True)
+state = granular.init_state(cfg, jax.random.PRNGKey(0))
+dt = jnp.float32(1 / 240)
+n_steps = 32
+np.asarray(granular.multi_step(state, cfg, dt, n_steps).pos[:1, :1])
+best = float("inf")
+for _ in range(3):
+    t0 = time.time()
+    np.asarray(granular.multi_step(state, cfg, dt, n_steps).pos[:1, :1])
+    best = min(best, time.time() - t0)
+print("GRANULAR_RATE", 1_000_000 * n_steps / best)
+"""
+
+_SCRIPT_SC = r"""
+import time
+import jax, jax.numpy as jnp
+import numpy as np
+import wgpu_physics_engine_tpu as eng
+from wgpu_physics_engine_tpu.models import cloth
+
+c = eng.ClothConfig(height=256, width=256)
+params = eng.ClothParams.from_config(c)
+state = eng.init_cloth_state(c)
+spec = cloth.default_self_collision_grid(c, skin=0.5 * c.particle_radius)
+dt = jnp.float32(1 / 480)
+n_steps = 256
+
+def run(s):
+    return cloth.multi_step_self_collide(s, params, dt, n_steps, spec,
+                                         rebuild_every=32, pallas_slab=640)
+
+np.asarray(run(state).pos[:1, :1, :1])
+best = float("inf")
+for trial in range(3):
+    st = state._replace(pos=state.pos + jnp.float32(trial * 1e-3))
+    t0 = time.time()
+    np.asarray(run(st).pos[:1, :1, :1])
+    best = min(best, time.time() - t0)
+print("SC_RATE", 256 * 256 * n_steps / best)
+"""
+
+
+@pytest.mark.skipif(not _tpu_available(),
+                    reason="no TPU detected (set WPE_TPU_PERF=1 to force)")
+def test_granular_1m_regression_floor():
+    """Granular 1M floor: 3.0e7 particle-steps/s (headline 3.71e7; the
+    pre-round-3 XLA path was 1.2e6, the 9-group CIV config 2.66e7 — a
+    fall back to either FAILS)."""
+    vals = _run_tpu_script(_SCRIPT_GRANULAR)
+    assert vals["GRANULAR_RATE"] >= 3.0e7, \
+        f"granular-1M regression: {vals['GRANULAR_RATE']:.3e}"
+
+
+@pytest.mark.skipif(not _tpu_available(),
+                    reason="no TPU detected (set WPE_TPU_PERF=1 to force)")
+def test_self_collide_256_regression_floor():
+    """Self-collide 256² floor: 3.0e7 particle-steps/s (headline 3.92e7;
+    round 2's frozen path was 7.3e6)."""
+    vals = _run_tpu_script(_SCRIPT_SC)
+    assert vals["SC_RATE"] >= 3.0e7, \
+        f"self-collide regression: {vals['SC_RATE']:.3e}"
 
 
 @pytest.mark.skipif(not _tpu_available(),

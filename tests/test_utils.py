@@ -198,6 +198,47 @@ def test_parse_events_sgr_mouse():
     assert all(isinstance(e, str) for e in viewer.parse_events(b"\x1b[<0;x;2M"))
 
 
+def test_parse_events_carries_split_escape():
+    """An SGR sequence split across a 256-byte os.read boundary must not
+    degrade to literal chars (dropping the event): parse_events returns
+    the incomplete tail, the caller prepends it to the next read."""
+    whole = b"q\x1b[<32;120;45M\x1b[A"
+    for cut in range(1, len(whole)):
+        a, b = whole[:cut], whole[cut:]
+        ev1, rest = viewer.parse_events(a, return_rest=True)
+        ev2, rest2 = viewer.parse_events(rest + b, return_rest=True)
+        assert ev1 + ev2 == [
+            "q", ("mouse", 32, 120, 45, True), "up"], f"cut={cut}"
+        assert rest2 == b""
+    # complete buffers leave no remainder and match the plain call
+    ev, rest = viewer.parse_events(whole, return_rest=True)
+    assert rest == b"" and ev == viewer.parse_events(whole)
+    # a bare trailing ESC is held back, not emitted as a char
+    ev, rest = viewer.parse_events(b"g\x1b", return_rest=True)
+    assert ev == ["g"] and rest == b"\x1b"
+
+
+def test_live_key_light_xyz():
+    """Per-axis light position keys u/U i/I o/O mirror the reference's
+    Light X/Y/Z sliders (cloth.rs:1400-1402)."""
+    from wgpu_physics_engine_tpu.core import config as cfg
+    from wgpu_physics_engine_tpu.models import scenes
+
+    s = scenes.ClothScene(config=cfg.ClothConfig(height=4, width=4),
+                          use_pallas=False)
+    p0 = [float(v) for v in s.light.position]
+    for key, axis, d in (("u", 0, -1.0), ("U", 0, +1.0), ("i", 1, -1.0),
+                         ("I", 1, +1.0), ("o", 2, -1.0), ("O", 2, +1.0)):
+        before = [float(v) for v in s.light.position]
+        assert viewer.handle_key(s, key) is None
+        after = [float(v) for v in s.light.position]
+        assert after[axis] == pytest.approx(before[axis] + d)
+        for other in range(3):
+            if other != axis:
+                assert after[other] == before[other]
+    assert [float(v) for v in s.light.position] == pytest.approx(p0)
+
+
 def test_mouse_drag_orbits_scene():
     """Left-drag orbits the camera (the reference's OrbitCamera mouse
     input, cloth.rs:1497-1499) and the wheel zooms; release ends the

@@ -53,7 +53,7 @@ def ansi_frame(img: np.ndarray, max_cols: int = 80) -> str:
     return "\n".join(lines)
 
 
-def parse_events(buf: bytes) -> list:
+def parse_events(buf: bytes, return_rest: bool = False):
     """Split raw terminal bytes into input events.
 
     Key tokens: 'up'/'down'/'left'/'right' for the arrow escape
@@ -62,31 +62,53 @@ def parse_events(buf: bytes) -> list:
     with 1-based cell coordinates — emitted when the live loop has
     enabled ``?1002`` button-motion tracking, giving the reference's
     mouse-drag orbit + wheel zoom (OrbitCamera::input consumed at
-    cloth.rs:1497-1499) a terminal equivalent."""
+    cloth.rs:1497-1499) a terminal equivalent.
+
+    ``return_rest=True`` additionally returns the trailing bytes of an
+    escape sequence that was split across the read boundary (a 256-byte
+    ``os.read`` can cut an SGR sequence mid-digits); the caller prepends
+    them to the next read instead of the sequence degrading to literal
+    chars and dropping the event."""
     arrows = {b"A": "up", b"B": "down", b"C": "right", b"D": "left"}
-    events, i = [], 0
+    events, i, rest = [], 0, b""
     while i < len(buf):
-        if buf[i:i + 1] == b"\x1b" and buf[i + 1:i + 2] == b"[":
-            if buf[i + 2:i + 3] in arrows:
-                events.append(arrows[buf[i + 2:i + 3]])
-                i += 3
-                continue
-            if buf[i + 2:i + 3] == b"<":
-                j = i + 3
-                while j < len(buf) and buf[j:j + 1] not in (b"M", b"m"):
-                    j += 1
-                if j < len(buf):
-                    try:
-                        b, x, y = (int(v) for v in
-                                   buf[i + 3:j].decode().split(";"))
-                        events.append(("mouse", b, x, y,
-                                       buf[j:j + 1] == b"M"))
-                        i = j + 1
-                        continue
-                    except ValueError:
-                        pass  # malformed sequence: fall through as chars
+        if buf[i:i + 1] == b"\x1b":
+            tail = buf[i + 1:]
+            if tail[:1] in (b"", b"["):
+                body = tail[1:]
+                if body[:1] == b"<":
+                    j = i + 3
+                    while j < len(buf) and buf[j:j + 1] not in (b"M", b"m"):
+                        j += 1
+                    if j == len(buf):
+                        # unterminated SGR prefix: incomplete iff all
+                        # bytes so far are valid payload chars
+                        if all(c in b"0123456789;" for c in body[1:]):
+                            rest = buf[i:]
+                            break
+                    else:
+                        try:
+                            b, x, y = (int(v) for v in
+                                       buf[i + 3:j].decode().split(";"))
+                            events.append(("mouse", b, x, y,
+                                           buf[j:j + 1] == b"M"))
+                            i = j + 1
+                            continue
+                        except ValueError:
+                            pass  # malformed: fall through as chars
+                elif body[:1] in arrows:
+                    events.append(arrows[body[:1]])
+                    i += 3
+                    continue
+                elif body == b"":
+                    # bare ESC or ESC[ at the end: could grow into an
+                    # arrow or mouse sequence next read
+                    rest = buf[i:]
+                    break
         events.append(chr(buf[i]))
         i += 1
+    if return_rest:
+        return events, rest
     return events
 
 
@@ -125,7 +147,9 @@ def handle_key(scene, key: str):
     cloth.rs:1383-1451). Returns 'quit', 'pause', or None.
 
     Bindings: arrows orbit, +/- zoom, g/G gravity down/up 10%,
-    t/T time-scale, l/L light azimuth, s/S shininess, k/K specular ks,
+    t/T time-scale, l/L light azimuth, u/U i/I o/O light position X/Y/Z
+    -/+ (the reference's per-axis Light X/Y/Z sliders,
+    cloth.rs:1400-1402), s/S shininess, k/K specular ks,
     x specular toggle, d/D speed damping, r/R particle radius (resets the
     cloth, like the reference's slider), space pause, q quit."""
     if key == "left":
@@ -152,6 +176,12 @@ def handle_key(scene, key: str):
         a = 0.2 if key == "L" else -0.2
         ca, sa = np.cos(a), np.sin(a)
         scene.set_light(position=(ca * x + sa * z, y, -sa * x + ca * z))
+    elif key in "uUiIoO" and hasattr(scene, "set_light"):
+        # per-axis light position (Light X/Y/Z sliders, cloth.rs:1400-1402)
+        pos = list(scene.light.position)
+        axis = {"u": 0, "i": 1, "o": 2}[key.lower()]
+        pos[axis] = float(pos[axis]) + (1.0 if key.isupper() else -1.0)
+        scene.set_light(position=tuple(pos))
     elif key in "sS" and hasattr(scene, "set_light"):
         sh = float(scene.light.shininess)
         scene.set_light(shininess=float(np.clip(
@@ -179,6 +209,7 @@ def handle_key(scene, key: str):
 
 
 _HELP = ("drag orbit  wheel zoom  arrows orbit  +/- zoom  g/G gravity  t/T speed  l/L light  "
+         "u/U i/I o/O light xyz  "
          "s/S shin  k/K ks  x spec  d/D damp  r/R radius  space pause  q quit")
 
 
@@ -238,7 +269,10 @@ def live(scene, seconds: float = 5.0, fps: int = 10, size=(128, 128),
             sys.stdout.flush()
             termios.tcsetattr(fd, termios.TCSADRAIN, old)
 
+    pending = b""
+
     def _poll_events():
+        nonlocal pending
         if not interactive:
             return []
         events = []
@@ -246,7 +280,8 @@ def live(scene, seconds: float = 5.0, fps: int = 10, size=(128, 128),
             buf = os.read(sys.stdin.fileno(), 256)
             if not buf:
                 break
-            events.extend(parse_events(buf))
+            evs, pending = parse_events(pending + buf, return_rest=True)
+            events.extend(evs)
         return events
 
     n = int(seconds * fps)
