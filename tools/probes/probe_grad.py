@@ -22,6 +22,7 @@ from wgpu_physics_engine_tpu.core.state import ClothParams, init_cloth_state
 from wgpu_physics_engine_tpu.models import cloth
 
 H = W = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+SEGMENTS = [int(v) for v in sys.argv[2:]] or [32, 64, 96]
 N_STEPS = 480
 DT = jnp.float32(1 / 480)
 
@@ -50,7 +51,7 @@ from wgpu_physics_engine_tpu.ops import cloth_pallas
 timeit("fwd kernel 480", jax.jit(lambda s: cloth_pallas.multi_step(
     s, params, DT, N_STEPS)), state)
 
-for seg in (32, 64, 96):
+for seg in SEGMENTS:
     def loss(pos, vel, seg=seg):
         out = cloth.multi_step_diff(state._replace(pos=pos, vel=vel),
                                     params, DT, N_STEPS, segment=seg)

@@ -592,19 +592,27 @@ def multi_step_diff(state: ClothState, params: ClothParams, dt: jnp.ndarray,
     (its WGSL pipeline has no gradient story) — same surplus class as the
     parallel/datagen layers, SURVEY §5.
 
-    Backward routing by grid size (round 4 — VERDICT r3 item 4):
-    up to 128² the whole-plane reverse-walk kernel (2.2e8
-    particle-steps/s on v5e); up to 256² (the flagship grid) the BANDED
-    transpose kernel — per-substep re-linearization over ~8k-particle
-    row bands with an 8-row halo, fixing the whole-plane kernel's 40.9M
-    scoped-VMEM blow-up at 256² (tools/probes/probe_grad.py); beyond
-    256² the whole-grid VMEM carries themselves outgrow the budget and
-    the XLA fallback takes over.
+    Backward routing by grid size (rounds 4-5):
+    up to 128² the whole-plane reverse-walk kernel; up to 512² the
+    BANDED transpose kernel — per-substep re-linearization over
+    ~32k-particle row bands with an 8-row halo inside the raised
+    (100 MB) scoped-VMEM window (round 5: 9.5e8 p-steps/s
+    value_and_grad at 512², 3.3× the XLA fallback —
+    tools/probes/probe_band512.py); up to 1024² the STREAMED banded
+    path — primal and trace run the production halo-widened banded
+    forward and the transpose DMAs each primal band from the HBM
+    trajectory, only the cotangent carries staying whole-grid in VMEM;
+    beyond 1024² (or when the streamed path's alignment constraints
+    fail: ``n_steps % 8`` or ``h % 8``) the XLA stencil +
+    ``jax.checkpoint`` fallback takes over.
     """
     from ..ops import cloth_pallas, cloth_pallas_grad
 
     h, w = state.pos.shape[-2:]
-    if h * w > cloth_pallas_grad._GRAD_BANDED_PARTICLE_LIMIT:
+    g = cloth_pallas_grad
+    needs_stream = h * w > g._GRAD_BANDED_PARTICLE_LIMIT
+    if (h * w > g._GRAD_STREAM_PARTICLE_LIMIT
+            or (needs_stream and (n_steps % g._STREAM_K_SUB or h % 8))):
         seg_step = jax.checkpoint(lambda s: substep(s, params, dt))
         out, _ = jax.lax.scan(lambda s, _: (seg_step(s), None), state, None,
                               length=n_steps)

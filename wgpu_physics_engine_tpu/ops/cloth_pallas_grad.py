@@ -72,9 +72,26 @@ _NP = cp._NP
 # stays whole-grid in VMEM.
 _GRAD_VMEM_PARTICLE_LIMIT = 16_384
 # Banded path cap: the whole-grid carries (padded state + two padded
-# cotangent buffers + the substep's traj block) are ~8 MB at 256²; 512²
-# doubles that past scoped VMEM -> XLA + jax.checkpoint fallback.
-_GRAD_BANDED_PARTICLE_LIMIT = 65_536
+# cotangent buffers + the substep's traj block) are ~8 MB at 256² —
+# inside the DEFAULT ~16 MB scoped-VMEM window. At 512² they total
+# ~50 MB, which still fits v5e's 128 MB physical VMEM once the scoped
+# limit is raised per-kernel (``_vmem_params`` below), so 512² also
+# runs the banded kernel (round 5). 1024² needs ~150 MB > physical ->
+# XLA + jax.checkpoint fallback.
+_GRAD_BANDED_PARTICLE_LIMIT = 262_144
+# Above the default scoped-VMEM window the kernels ask Mosaic for a
+# bigger allocation (v5e has 128 MB physical VMEM; the 16 MB default is
+# a compiler-conservatism, not hardware). Raised for every banded-path
+# grid (>128²): the window pays for itself in wider bands — the 512²
+# sweep measured 8.08e8 (band 16) → 9.51e8 (band 64) p-steps/s.
+_VMEM_RAISE_PARTICLE_LIMIT = 16_384
+_VMEM_LIMIT_BYTES = 100 * 2**20
+
+
+def _vmem_params(h, w):
+    if h * w > _VMEM_RAISE_PARTICLE_LIMIT:
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+    return None
 _BAND_PAD = 8    # sublane-aligned halo: bands slice [jB-8, jB+B+8) of a
 # zero-padded [h + 16, w] plane; the stencil needs only ±2 rows, the
 # other 6 keep every slice 8-row aligned for Mosaic
@@ -363,6 +380,72 @@ def _band_family_force(x, y, z, vx, vy, vz, kk, cc, rr, *, dr, dc, ok,
     return (gx[lo:lo + nrows], gy[lo:lo + nrows], gz[lo:lo + nrows])
 
 
+def _band_passes(band_state, ct_out, scal, fams, pin_b, pinpos_b,
+                 add_interior, add_halo, add_scal, add_fam, add_pin):
+    """The two re-linearization passes for ONE row band — the shared core
+    of the banded transpose kernels (:func:`_bwd_kernel_banded` keeps
+    whole-grid carries in VMEM; :func:`_bwd_kernel_stream` streams the
+    primal band from HBM). Accumulation happens through the ``add_*``
+    callbacks (ref writes in the calling kernel) so the floating-point
+    accumulation ORDER is identical in both kernels — and identical to
+    the pre-refactor round-4 kernel.
+
+    ``band_state``: 6 halo-slice planes ``[hh, w]`` (interior rows at
+    ``[P, P+nb)``); ``ct_out``: 6 interior planes (the OLD cotangent for
+    this band's rows); ``fams``: ``(t, fam_fn)`` with the band's masks
+    baked in; ``pin_b``/``pinpos_b``: interior pin mask + position
+    planes, or None.
+
+    Callbacks: ``add_interior(j, plane)`` — integrate-vjp state
+    cotangents (6 interior planes); ``add_halo(j, plane)`` — family-vjp
+    state cotangents (6 halo-slice planes, called per family);
+    ``add_scal(j, s)`` — the 7 scalar cotangents k_contact..min_dist,
+    dt (j = 0..6); ``add_fam(t, ck, cc, cr)`` — per-family spring-param
+    cotangents; ``add_pin(j, plane)`` — pin-position cotangents."""
+    xh, yh, zh, vxh, vyh, vzh = band_state
+    k, c, rest = scal[0], scal[1], scal[2]
+    nb = ct_out[0].shape[0]
+    w_ = xh.shape[1]
+    intr = slice(_BAND_PAD, _BAND_PAD + nb)
+    xi, yi, zi = xh[intr], yh[intr], zh[intr]
+    vxi, vyi, vzi = vxh[intr], vyh[intr], vzh[intr]
+
+    # pass 1 (primal): band spring force, the integrate linearization
+    # point
+    fx = jnp.zeros((nb, w_), jnp.float32)
+    fy = jnp.zeros((nb, w_), jnp.float32)
+    fz = jnp.zeros((nb, w_), jnp.float32)
+    for t, fam_fn in fams:
+        gx, gy, gz = fam_fn(xh, yh, zh, vxh, vyh, vzh, k[t], c[t],
+                            rest[t])
+        fx, fy, fz = fx + gx, fy + gy, fz + gz
+
+    int_fn = functools.partial(_integrate_planes, pin=pin_b)
+    int_args = (xi, yi, zi, vxi, vyi, vzi, fx, fy, fz) + scal[3:]
+    if pinpos_b is not None:
+        int_args = int_args + pinpos_b
+    _, vjp_int = jax.vjp(int_fn, *int_args)
+    cts = vjp_int(ct_out)
+    for j, s in enumerate(cts[9:16]):      # k_contact..min_dist, dt
+        add_scal(j, s)
+    if pinpos_b is not None:
+        for j in range(3):
+            add_pin(j, cts[16 + j])
+    for j in range(6):
+        add_interior(j, cts[j])
+
+    # pass 2: per-family re-linearization against the band's force
+    # cotangent; input cotangents land on the halo slice
+    ctf = tuple(cts[6:9])
+    for t, fam_fn in fams:
+        _, vjp_fam = jax.vjp(fam_fn, xh, yh, zh, vxh, vyh, vzh,
+                             k[t], c[t], rest[t])
+        out = vjp_fam(ctf)
+        for j in range(6):
+            add_halo(j, out[j])
+        add_fam(t, out[6], out[7], out[8])
+
+
 def _bwd_kernel_banded(params_ref, traj_ref, pinm_ref, pinpos_ref,
                        ctpos_ref, ctvel_ref, out_ctpos, out_ctvel,
                        out_ctpin, out_ctprm, *scratch, h, w, n_steps,
@@ -389,7 +472,6 @@ def _bwd_kernel_banded(params_ref, traj_ref, pinm_ref, pinpos_ref,
     pin_scr = scratch[3] if use_pins else None
     acc_ref = scratch[-1]
     scal = _unpack_scal(params_ref)
-    k, c, rest = scal[0], scal[1], scal[2]
     zero_pad_plane = jnp.zeros((P, w), jnp.float32)
 
     @pl.when(i == 0)
@@ -415,6 +497,14 @@ def _bwd_kernel_banded(params_ref, traj_ref, pinm_ref, pinpos_ref,
 
     pinm = pinm_ref[...] if use_pins else None
 
+    def add_scal(j, s):
+        acc_ref[9 + j] = acc_ref[9 + j] + s
+
+    def add_fam(t, ck, cc_, cr):
+        acc_ref[t] = acc_ref[t] + ck
+        acc_ref[3 + t] = acc_ref[3 + t] + cc_
+        acc_ref[6 + t] = acc_ref[6 + t] + cr
+
     n_bands = -(-h // band)
     for jb in range(n_bands):
         a = jb * band
@@ -423,11 +513,7 @@ def _bwd_kernel_banded(params_ref, traj_ref, pinm_ref, pinpos_ref,
         # halo slice: padded rows [a, a + hh) <=> global rows
         # [a - P, a + nb + P)
         g0 = a - P
-        xh, yh, zh = (st_scr[j, a:a + hh] for j in range(3))
-        vxh, vyh, vzh = (st_scr[3 + j, a:a + hh] for j in range(3))
-        intr = slice(P, P + nb)
-        xi, yi, zi = xh[intr], yh[intr], zh[intr]
-        vxi, vyi, vzi = vxh[intr], vyh[intr], vzh[intr]
+        band_state = tuple(st_scr[j, a:a + hh] for j in range(6))
 
         fams = []
         for dr, dc, t in cp._FAMILIES:
@@ -436,51 +522,25 @@ def _bwd_kernel_banded(params_ref, traj_ref, pinm_ref, pinpos_ref,
                 ok=_band_masks(h, w, dr, dc, g0, hh), hh=hh, w=w,
                 lo=P, nrows=nb)))
 
-        # pass 1 (primal): band spring force, the integrate
-        # linearization point
-        fx = jnp.zeros((nb, w), jnp.float32)
-        fy = jnp.zeros((nb, w), jnp.float32)
-        fz = jnp.zeros((nb, w), jnp.float32)
-        for t, fam_fn in fams:
-            gx, gy, gz = fam_fn(xh, yh, zh, vxh, vyh, vzh, k[t], c[t],
-                                rest[t])
-            fx, fy, fz = fx + gx, fy + gy, fz + gz
-
         # incoming cotangent for this band's rows (OLD carry)
         ct_out = tuple(ct_scr[j, P + a:P + a + nb] for j in range(6))
 
         pin_b = (pinm[a:a + nb] != 0.0) if use_pins else None
-        int_fn = functools.partial(_integrate_planes, pin=pin_b)
-        int_args = (xi, yi, zi, vxi, vyi, vzi, fx, fy, fz) + scal[3:]
-        if use_pins:
-            int_args = int_args + (pinpos_ref[0, a:a + nb],
-                                   pinpos_ref[1, a:a + nb],
-                                   pinpos_ref[2, a:a + nb])
-        _, vjp_int = jax.vjp(int_fn, *int_args)
-        cts = vjp_int(ct_out)
-        ctx, cty, ctz, ctvx, ctvy, ctvz, ctfx, ctfy, ctfz = cts[:9]
-        for j, s in enumerate(cts[9:15]):      # k_contact..min_dist
-            acc_ref[9 + j] = acc_ref[9 + j] + s
-        acc_ref[15] = acc_ref[15] + cts[15]    # dt
-        if use_pins:
-            for j in range(3):
-                pin_scr[j, a:a + nb] = pin_scr[j, a:a + nb] + cts[16 + j]
-        for j, v in enumerate((ctx, cty, ctz, ctvx, ctvy, ctvz)):
+        pinpos_b = (pinpos_ref[0, a:a + nb], pinpos_ref[1, a:a + nb],
+                    pinpos_ref[2, a:a + nb]) if use_pins else None
+
+        def add_interior(j, v, a=a, nb=nb):
             ctn_scr[j, P + a:P + a + nb] = (
                 ctn_scr[j, P + a:P + a + nb] + v)
 
-        # pass 2: per-family re-linearization against the band's force
-        # cotangent; input cotangents land on the halo slice
-        ctf = (ctfx, ctfy, ctfz)
-        for t, fam_fn in fams:
-            _, vjp_fam = jax.vjp(fam_fn, xh, yh, zh, vxh, vyh, vzh,
-                                 k[t], c[t], rest[t])
-            ax, ay, az, avx, avy, avz, ck, cc_, cr = vjp_fam(ctf)
-            for j, v in enumerate((ax, ay, az, avx, avy, avz)):
-                ctn_scr[j, a:a + hh] = ctn_scr[j, a:a + hh] + v
-            acc_ref[t] = acc_ref[t] + ck
-            acc_ref[3 + t] = acc_ref[3 + t] + cc_
-            acc_ref[6 + t] = acc_ref[6 + t] + cr
+        def add_halo(j, v, a=a, hh=hh):
+            ctn_scr[j, a:a + hh] = ctn_scr[j, a:a + hh] + v
+
+        def add_pin(j, v, a=a, nb=nb):
+            pin_scr[j, a:a + nb] = pin_scr[j, a:a + nb] + v
+
+        _band_passes(band_state, ct_out, scal, fams, pin_b, pinpos_b,
+                     add_interior, add_halo, add_scal, add_fam, add_pin)
 
     for j in range(6):
         ct_scr[j] = ctn_scr[j]
@@ -497,6 +557,360 @@ def _bwd_kernel_banded(params_ref, traj_ref, pinm_ref, pinpos_ref,
             out_ctpin[...] = jnp.zeros((3, 1, 1), jnp.float32)
         for j in range(_NP):
             out_ctprm[j] = acc_ref[j]
+
+
+# ---------------------------------------------------------------------------
+# Streamed variant (round 5): grids whose whole-grid VMEM carries outgrow
+# even the raised window (1024² needs ~150 MB > the 128 MB physical VMEM).
+# Three changes vs the banded kernel, same math:
+#   * primal  — the production banded forward (cloth_pallas_tiled) driven
+#     with the packed param vector, instead of the whole-plane kernel;
+#   * trace   — a halo-widened banded kernel (same window logic as the
+#     tiled forward) that ALSO streams each substep's entering center
+#     rows to HBM;
+#   * backward — the banded transpose with the whole-grid PRIMAL carry
+#     replaced by a per-band DMA from the HBM trajectory (the two
+#     cotangent carries stay whole-grid in VMEM: ~51 MB at 1024²).
+# ---------------------------------------------------------------------------
+
+_STREAM_K_SUB = 8     # substeps per trace/forward launch (halo = 16 rows)
+# The streamed backward still keeps the two padded cotangent carries
+# whole-grid in VMEM (≈ 2·6·(h+16)·w·4 B): at 1024² that is 51 MB inside
+# the raised window; 2048² would need 204 MB > physical -> XLA fallback.
+_GRAD_STREAM_PARTICLE_LIMIT = 1_048_576
+
+
+def _tiled_specs(h, w, band_ext, use_pins, interpret, kernel, extra_outs=(),
+                 extra_scratch=(), n_sems=6):
+    """pallas_call plumbing shared by the streamed forward and trace
+    launches (mirrors cloth_pallas_tiled.multi_step's launch)."""
+    return pl.pallas_call(
+        kernel,
+        grid=(h // (band_ext[0]),),
+        out_shape=(jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((3, h, w), jnp.float32)) +
+        tuple(extra_outs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] +
+                 [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)) +
+        tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in extra_outs),
+        scratch_shapes=[
+            pltpu.VMEM((3, band_ext[1], w), jnp.float32),
+            pltpu.VMEM((3, band_ext[1], w), jnp.float32),
+            pltpu.VMEM((3, band_ext[1], w), jnp.float32),
+            pltpu.VMEM((3, band_ext[1], w), jnp.float32),
+            pltpu.VMEM((band_ext[1], w), jnp.float32),
+            pltpu.VMEM((3, band_ext[1], w), jnp.float32),
+        ] + list(extra_scratch) + [pltpu.SemaphoreType.DMA((n_sems,))],
+        compiler_params=_vmem_params(h, w),
+        interpret=interpret,
+    )
+
+
+def _fwd_call_stream(pos, vel, pinm, pinpos, pvec, *, h, w, n_steps,
+                     use_pins, interpret):
+    """Segment primal for the streamed path: the PRODUCTION banded
+    forward (cloth_pallas_tiled._kernel — halo widening, k_sub substeps
+    per launch) driven with the already-packed param vector, so the
+    primal is bit-identical to what cloth_pallas.multi_step runs at
+    these sizes."""
+    from . import cloth_pallas_tiled as cpt
+
+    k_sub = _STREAM_K_SUB
+    assert n_steps % k_sub == 0
+    band_h = cpt._pick_band(h, w, k_sub, use_pins)
+    halo = 2 * k_sub
+    kernel = functools.partial(cpt._kernel, h=h, w=w, band_h=band_h,
+                               halo=halo, k_sub=k_sub, use_pins=use_pins)
+    launch = _tiled_specs(h, w, (band_h, band_h + 2 * halo), use_pins,
+                          interpret, kernel)
+
+    def body(c, _):
+        p, v = launch(pvec, c[0], c[1], pinm, pinpos)
+        return (p, v), None
+
+    (p, v), _ = jax.lax.scan(body, (pos, vel), None,
+                             length=n_steps // k_sub)
+    return p, v
+
+
+def _trace_kernel_stream(params_ref, pos_hbm, vel_hbm, pinm_hbm,
+                         pinpos_hbm, pos_out, vel_out, traj_out,
+                         sp, sv, so_p, so_v, spinm, spinpos, stage, sems,
+                         *, h, w, band_h, halo, k_sub, use_pins):
+    """Banded trace: the tiled forward's window walk (DMA band + 2·k_sub
+    halo rows in, run k_sub substeps, DMA center rows out), additionally
+    streaming each substep's ENTERING state (center rows) to the HBM
+    trajectory the transpose kernel walks backwards. Substep math is
+    ``cloth_pallas._substep_planes`` — identical expressions to the
+    whole-plane trace kernel and the forward."""
+    band = pl.program_id(0)
+    band_ext = band_h + 2 * halo
+    window_start = jnp.clip(band * band_h - halo, 0, h - band_ext)
+    window_start = pl.multiple_of(window_start, 8)
+    center_off = pl.multiple_of(band * band_h - window_start, 8)
+    band_start = pl.multiple_of(band * band_h, 8)
+
+    cp_in_p = pltpu.make_async_copy(
+        pos_hbm.at[:, pl.ds(window_start, band_ext), :], sp, sems.at[0])
+    cp_in_v = pltpu.make_async_copy(
+        vel_hbm.at[:, pl.ds(window_start, band_ext), :], sv, sems.at[1])
+    cp_in_p.start()
+    cp_in_v.start()
+    if use_pins:
+        cp_in_m = pltpu.make_async_copy(
+            pinm_hbm.at[pl.ds(window_start, band_ext), :], spinm,
+            sems.at[4])
+        cp_in_pp = pltpu.make_async_copy(
+            pinpos_hbm.at[:, pl.ds(window_start, band_ext), :], spinpos,
+            sems.at[5])
+        cp_in_m.start()
+        cp_in_pp.start()
+        cp_in_m.wait()
+        cp_in_pp.wait()
+    cp_in_p.wait()
+    cp_in_v.wait()
+
+    scal = _unpack_scal(params_ref)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (band_ext, w), 0)
+    grow = lrow + window_start
+    cols = jax.lax.broadcasted_iota(jnp.int32, (band_ext, w), 1)
+    masks = []
+    for dr, dc, _ in cp._FAMILIES:
+        # global validity AND local no-wrap (cloth_pallas_tiled._kernel)
+        ok = (grow < (h - dr)) & (lrow < (band_ext - dr))
+        if dc >= 0:
+            ok = ok & (cols < (w - dc))
+        else:
+            ok = ok & (cols >= -dc)
+        masks.append(ok)
+    pins = None
+    if use_pins:
+        pins = (spinm[...] != 0.0, spinpos[0], spinpos[1], spinpos[2])
+
+    def body(t, carry):
+        for j in range(6):
+            stage[j] = carry[j]
+        cp_tr = pltpu.make_async_copy(
+            stage.at[:, pl.ds(center_off, band_h), :],
+            traj_out.at[t, :, pl.ds(band_start, band_h), :], sems.at[2])
+        cp_tr.start()
+        out = cp._substep_planes(carry, masks, scal, cp._exact_dist_inv,
+                                 pins=pins)
+        cp_tr.wait()
+        return out
+
+    x, y, z, vx, vy, vz = jax.lax.fori_loop(
+        0, k_sub, body, (sp[0], sp[1], sp[2], sv[0], sv[1], sv[2]))
+
+    so_p[0], so_p[1], so_p[2] = x, y, z
+    so_v[0], so_v[1], so_v[2] = vx, vy, vz
+    cp_out_p = pltpu.make_async_copy(
+        so_p.at[:, pl.ds(center_off, band_h), :],
+        pos_out.at[:, pl.ds(band_start, band_h), :], sems.at[0])
+    cp_out_v = pltpu.make_async_copy(
+        so_v.at[:, pl.ds(center_off, band_h), :],
+        vel_out.at[:, pl.ds(band_start, band_h), :], sems.at[1])
+    cp_out_p.start()
+    cp_out_v.start()
+    cp_out_p.wait()
+    cp_out_v.wait()
+
+
+def _trace_call_stream(pos, vel, pinm, pinpos, pvec, *, h, w, n_steps,
+                       use_pins, interpret):
+    """Segment trajectory for the streamed path: scan of banded trace
+    launches; returns ``[n_steps, 6, h, w]`` (entering state per
+    substep), assembled in HBM."""
+    from . import cloth_pallas_tiled as cpt
+
+    k_sub = _STREAM_K_SUB
+    assert n_steps % k_sub == 0
+    band_h = cpt._pick_band(h, w, k_sub, use_pins)
+    halo = 2 * k_sub
+    band_ext = band_h + 2 * halo
+    kernel = functools.partial(_trace_kernel_stream, h=h, w=w,
+                               band_h=band_h, halo=halo, k_sub=k_sub,
+                               use_pins=use_pins)
+    launch = _tiled_specs(
+        h, w, (band_h, band_ext), use_pins, interpret, kernel,
+        extra_outs=[jax.ShapeDtypeStruct((k_sub, 6, h, w), jnp.float32)],
+        extra_scratch=[pltpu.VMEM((6, band_ext, w), jnp.float32)])
+
+    def body(c, _):
+        p, v, traj = launch(pvec, c[0], c[1], pinm, pinpos)
+        return (p, v), traj
+
+    _, trajs = jax.lax.scan(body, (pos, vel), None,
+                            length=n_steps // k_sub)
+    return trajs.reshape(n_steps, 6, h, w)
+
+
+def _bwd_kernel_stream(params_ref, traj_ref, pinm_ref, pinpos_ref,
+                       ctpos_ref, ctvel_ref, out_ctpos, out_ctvel,
+                       out_ctpin, out_ctprm, *scratch, h, w, n_steps,
+                       use_pins, band):
+    """Streamed banded transpose: identical math and accumulation order
+    to :func:`_bwd_kernel_banded` (both call :func:`_band_passes`), but
+    the whole-grid padded PRIMAL carry is replaced by a per-band DMA
+    from the HBM trajectory, and the incoming/outgoing cotangents move
+    by DMA at the first/last grid step. VMEM high-water: the two padded
+    cotangent carries (2·6·(h+16)·w·4 B) + one primal band slice +
+    re-linearization temporaries."""
+    P = _BAND_PAD
+    i = pl.program_id(0)
+    ct_scr, ctn_scr, st_band = scratch[0], scratch[1], scratch[2]
+    pin_scr = scratch[3] if use_pins else None
+    acc_ref = scratch[-2]
+    sems = scratch[-1]
+    scal = _unpack_scal(params_ref)
+    zero_pad_plane = jnp.zeros((P, w), jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(6):
+            ct_scr[j, 0:P] = zero_pad_plane
+            ct_scr[j, P + h:] = zero_pad_plane
+        cp_p = pltpu.make_async_copy(ctpos_ref, ct_scr.at[0:3, P:P + h, :],
+                                     sems.at[1])
+        cp_v = pltpu.make_async_copy(ctvel_ref, ct_scr.at[3:6, P:P + h, :],
+                                     sems.at[2])
+        cp_p.start()
+        cp_v.start()
+        if use_pins:
+            for j in range(3):
+                pin_scr[j] = jnp.zeros((h, w), jnp.float32)
+        for j in range(_NP):
+            acc_ref[j] = 0.0
+        cp_p.wait()
+        cp_v.wait()
+
+    i_rev = n_steps - 1 - i
+    for j in range(6):
+        ctn_scr[j] = jnp.zeros((h + 2 * P, w), jnp.float32)
+    pinm = pinm_ref[...] if use_pins else None
+
+    def add_scal(j, s):
+        acc_ref[9 + j] = acc_ref[9 + j] + s
+
+    def add_fam(t, ck, cc_, cr):
+        acc_ref[t] = acc_ref[t] + ck
+        acc_ref[3 + t] = acc_ref[3 + t] + cc_
+        acc_ref[6 + t] = acc_ref[6 + t] + cr
+
+    n_bands = -(-h // band)
+    for jb in range(n_bands):
+        a = jb * band
+        nb = min(band, h - a)
+        hh = nb + 2 * P
+        g0 = a - P
+        # primal band: DMA global rows [lo, hi) of this substep's
+        # trajectory entry into the slice at offset dst; out-of-range
+        # halo rows are zeroed VMEM (garbage would NaN-poison the vjps
+        # even under the masks)
+        lo = max(0, a - P)
+        hi = min(h, a + nb + P)
+        dst = lo - g0
+        cp_tr = pltpu.make_async_copy(
+            traj_ref.at[i_rev, :, lo:hi, :],
+            st_band.at[:, dst:dst + (hi - lo), :], sems.at[0])
+        cp_tr.start()
+        if dst:
+            st_band[:, 0:dst] = jnp.zeros((6, dst, w), jnp.float32)
+        if dst + (hi - lo) < hh:
+            st_band[:, dst + (hi - lo):hh] = jnp.zeros(
+                (6, hh - dst - (hi - lo), w), jnp.float32)
+        cp_tr.wait()
+        band_state = tuple(st_band[j, 0:hh] for j in range(6))
+
+        fams = []
+        for dr, dc, t in cp._FAMILIES:
+            fams.append((t, functools.partial(
+                _band_family_force, dr=dr, dc=dc,
+                ok=_band_masks(h, w, dr, dc, g0, hh), hh=hh, w=w,
+                lo=P, nrows=nb)))
+
+        ct_out = tuple(ct_scr[j, P + a:P + a + nb] for j in range(6))
+        pin_b = (pinm[a:a + nb] != 0.0) if use_pins else None
+        pinpos_b = (pinpos_ref[0, a:a + nb], pinpos_ref[1, a:a + nb],
+                    pinpos_ref[2, a:a + nb]) if use_pins else None
+
+        def add_interior(j, v, a=a, nb=nb):
+            ctn_scr[j, P + a:P + a + nb] = (
+                ctn_scr[j, P + a:P + a + nb] + v)
+
+        def add_halo(j, v, a=a, hh=hh):
+            ctn_scr[j, a:a + hh] = ctn_scr[j, a:a + hh] + v
+
+        def add_pin(j, v, a=a, nb=nb):
+            pin_scr[j, a:a + nb] = pin_scr[j, a:a + nb] + v
+
+        _band_passes(band_state, ct_out, scal, fams, pin_b, pinpos_b,
+                     add_interior, add_halo, add_scal, add_fam, add_pin)
+
+    for j in range(6):
+        ct_scr[j] = ctn_scr[j]
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        cp_p = pltpu.make_async_copy(ct_scr.at[0:3, P:P + h, :], out_ctpos,
+                                     sems.at[1])
+        cp_v = pltpu.make_async_copy(ct_scr.at[3:6, P:P + h, :], out_ctvel,
+                                     sems.at[2])
+        cp_p.start()
+        cp_v.start()
+        if use_pins:
+            cp_pin = pltpu.make_async_copy(pin_scr, out_ctpin, sems.at[3])
+            cp_pin.start()
+            cp_pin.wait()
+        else:
+            out_ctpin[...] = jnp.zeros((3, 1, 1), jnp.float32)
+        for j in range(_NP):
+            out_ctprm[j] = acc_ref[j]
+        cp_p.wait()
+        cp_v.wait()
+
+
+def _bwd_call_stream(traj, pinm, pinpos, ct_pos, ct_vel, pvec, *, h, w,
+                     n_steps, use_pins, interpret, band):
+    kernel = functools.partial(_bwd_kernel_stream, h=h, w=w,
+                               n_steps=n_steps, use_pins=use_pins,
+                               band=band)
+    hp = h + 2 * _BAND_PAD
+    scratch = [pltpu.VMEM((6, hp, w), jnp.float32),          # ct carry
+               pltpu.VMEM((6, hp, w), jnp.float32),          # ct accum
+               pltpu.VMEM((6, band + 2 * _BAND_PAD, w), jnp.float32)]
+    if use_pins:
+        scratch.append(pltpu.VMEM((3, h, w), jnp.float32))
+    scratch.append(pltpu.SMEM((_NP,), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
+    pm, pp = pinm.shape, pinpos.shape
+    if use_pins:
+        pin_out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        pin_out_spec = _full(pp)
+    bwd = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        out_shape=(jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+                   jax.ShapeDtypeStruct(pp, jnp.float32),
+                   jax.ShapeDtypeStruct((_NP,), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  _full(pm), _full(pp),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pin_out_spec,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=scratch,
+        compiler_params=_vmem_params(h, w),
+        interpret=interpret,
+    )
+    return bwd(pvec, traj, pinm, pinpos, ct_pos, ct_vel)
 
 
 # ---------------------------------------------------------------------------
@@ -519,6 +933,7 @@ def _fwd_call(pos, vel, pinm, pinpos, pvec, *, h, w, n_steps, use_pins,
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
+        compiler_params=_vmem_params(h, w),
         interpret=interpret,
     )(pvec, pos, vel, pinm, pinpos)
 
@@ -535,6 +950,7 @@ def _trace_call(pos, vel, pinm, pinpos, pvec, *, h, w, n_steps, use_pins,
                   _full((3, h, w)), _full((3, h, w)), _full(pm), _full(pp)],
         out_specs=pl.BlockSpec((1, 6, h, w), lambda i: (i, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((6, h, w), jnp.float32)],
+        compiler_params=_vmem_params(h, w),
         interpret=interpret,
     )(pvec, pos, vel, pinm, pinpos)
 
@@ -571,6 +987,7 @@ def _bwd_call(traj, pinm, pinpos, ct_pos, ct_vel, pvec, *, h, w, n_steps,
         out_specs=(_full((3, h, w)), _full((3, h, w)), _full(pp),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=scratch,
+        compiler_params=_vmem_params(h, w),
         interpret=interpret,
     )(pvec, traj, pinm, pinpos, ct_pos, ct_vel)
 
@@ -580,17 +997,34 @@ def _bwd_call(traj, pinm, pinpos, ct_pos, ct_vel, pvec, *, h, w, n_steps,
 # ---------------------------------------------------------------------------
 
 def _default_band(h, w):
-    """Band rows for the banded transpose kernel: ~8k particles per band
+    """Band rows for the banded transpose kernel: ~32k particles per band
     (live temporary set ≈ 620 B/particle — tools/probes/probe_grad.py —
-    so ~5 MB/band next to the ~8 MB of whole-grid carries), 8-row
-    aligned, at least 8."""
-    return max(8, min(h, (8192 // w) // 8 * 8))
+    so ~20 MB/band inside the raised VMEM window), 8-row aligned, at
+    least 8. Round-5 sweep (tools/probes/probe_band512.py): wider bands
+    win monotonically but flatten — 512²: band 16/32/64/128 = 8.08 /
+    8.93 / 9.51 / 9.62 e8 p-steps/s; 256²: band 32/128 = 6.09 / 6.39e8
+    (and whole-plane 6.42e8 — banding overhead is noise-level at ~32k
+    particles/band)."""
+    return max(8, min(h, (32_768 // w) // 8 * 8))
 
 
 @functools.lru_cache(maxsize=None)
-def _segment_core(h, w, n_steps, use_pins, interpret, band=None):
-    fwd = functools.partial(_fwd_call, h=h, w=w, n_steps=n_steps,
-                            use_pins=use_pins, interpret=interpret)
+def _segment_core(h, w, n_steps, use_pins, interpret, band=None,
+                  stream=False):
+    fwd = functools.partial(
+        _fwd_call_stream if stream else _fwd_call, h=h, w=w,
+        n_steps=n_steps, use_pins=use_pins, interpret=interpret)
+    trace = functools.partial(
+        _trace_call_stream if stream else _trace_call, h=h, w=w,
+        n_steps=n_steps, use_pins=use_pins, interpret=interpret)
+    if stream:
+        bwd_call = functools.partial(_bwd_call_stream, h=h, w=w,
+                                     n_steps=n_steps, use_pins=use_pins,
+                                     interpret=interpret, band=band)
+    else:
+        bwd_call = functools.partial(_bwd_call, h=h, w=w, n_steps=n_steps,
+                                     use_pins=use_pins, interpret=interpret,
+                                     band=band)
 
     @jax.custom_vjp
     def seg(pos, vel, pinm, pinpos, pvec):
@@ -603,13 +1037,9 @@ def _segment_core(h, w, n_steps, use_pins, interpret, band=None):
     def seg_bwd(res, ct):
         pos, vel, pinm, pinpos, pvec = res
         ct_pos, ct_vel = ct
-        traj = _trace_call(pos, vel, pinm, pinpos, pvec, h=h, w=w,
-                           n_steps=n_steps, use_pins=use_pins,
-                           interpret=interpret)
-        ctp, ctv, ctpin, ctprm = _bwd_call(
-            traj, pinm, pinpos, ct_pos, ct_vel, pvec, h=h, w=w,
-            n_steps=n_steps, use_pins=use_pins, interpret=interpret,
-            band=band)
+        traj = trace(pos, vel, pinm, pinpos, pvec)
+        ctp, ctv, ctpin, ctprm = bwd_call(traj, pinm, pinpos, ct_pos,
+                                          ct_vel, pvec)
         return ctp, ctv, jnp.zeros_like(pinm), ctpin, ctprm
 
     seg.defvjp(seg_fwd, seg_bwd)
@@ -619,7 +1049,8 @@ def _segment_core(h, w, n_steps, use_pins, interpret, band=None):
 def multi_step(state: ClothState, params, dt, n_steps: int,
                segment: Optional[int] = None,
                interpret: Optional[bool] = None,
-               band: Optional[int] = None) -> ClothState:
+               band: Optional[int] = None,
+               stream: Optional[bool] = None) -> ClothState:
     """Differentiable ``n_steps`` fused substeps (drop-in for
     :func:`cloth_pallas.multi_step`, exact mode).
 
@@ -639,18 +1070,50 @@ def multi_step(state: ClothState, params, dt, n_steps: int,
 
     ``band``: row-band height for the BANDED transpose kernel (round 4).
     ``None`` = auto: whole-plane transpose up to
-    ``_GRAD_VMEM_PARTICLE_LIMIT`` (128²), banded above it (~8k-particle
+    ``_GRAD_VMEM_PARTICLE_LIMIT`` (128²), banded above it (~32k-particle
     bands). Pass explicitly to force banding on small grids (tests).
+
+    ``stream``: force the STREAMED path (round 5 — primal via the
+    production banded forward, trace via the halo-widened banded trace
+    kernel, transpose with the primal band DMA'd from HBM per band).
+    ``None`` = auto: streamed above ``_GRAD_BANDED_PARTICLE_LIMIT``
+    (512²). The streamed path needs ``n_steps`` and ``segment``
+    divisible by ``_STREAM_K_SUB`` (8).
     """
     if interpret is None:
         interpret = cp._default_interpret()
     if n_steps == 0:
         return state
     h, w = state.pos.shape[-2:]
+    if stream is None:
+        stream = h * w > _GRAD_BANDED_PARTICLE_LIMIT
+    if h * w > _GRAD_STREAM_PARTICLE_LIMIT:
+        # enforce the limit at the API that owns the kernels (the
+        # streamed transpose's whole-grid cotangent carries outgrow the
+        # raised VMEM window past 1024²) — callers wanting larger grids
+        # use models/cloth.multi_step_diff, which routes them to the XLA
+        # stencil + jax.checkpoint fallback
+        raise ValueError(
+            f"grid {h}x{w} exceeds the backward kernel's VMEM budget "
+            f"({_GRAD_STREAM_PARTICLE_LIMIT} particles); use "
+            "models.cloth.multi_step_diff for the XLA fallback")
+    if stream:
+        if n_steps % _STREAM_K_SUB:
+            raise ValueError(
+                f"streamed backward needs n_steps % {_STREAM_K_SUB} == 0 "
+                f"(got {n_steps}); pad the horizon or use "
+                "models.cloth.multi_step_diff's XLA fallback")
+        if h % 8:
+            raise ValueError(
+                "streamed backward needs h % 8 == 0 (DMA row alignment); "
+                "use models.cloth.multi_step_diff's XLA fallback")
     if segment is None:
-        segment = min(n_steps, 64)
+        segment = min(n_steps, 32 if stream else 64)
     segment = min(segment, n_steps)
-    if band is None and h * w > _GRAD_VMEM_PARTICLE_LIMIT:
+    if stream:
+        segment = max(_STREAM_K_SUB,
+                      segment - segment % _STREAM_K_SUB)
+    if band is None and (stream or h * w > _GRAD_VMEM_PARTICLE_LIMIT):
         band = _default_band(h, w)
     use_pins = state.pin_mask is not None
     pvec = cp._pack_params(params, dt)
@@ -663,13 +1126,15 @@ def multi_step(state: ClothState, params, dt, n_steps: int,
     n_seg, rem = divmod(n_steps, segment)
     pos, vel = state.pos, state.vel
     if n_seg:
-        core = _segment_core(h, w, segment, use_pins, interpret, band)
+        core = _segment_core(h, w, segment, use_pins, interpret, band,
+                             stream)
 
         def body(c, _):
             return core(c[0], c[1], pinm, pinpos, pvec), None
 
         (pos, vel), _ = jax.lax.scan(body, (pos, vel), None, length=n_seg)
     if rem:
-        core_r = _segment_core(h, w, rem, use_pins, interpret, band)
+        core_r = _segment_core(h, w, rem, use_pins, interpret, band,
+                               stream)
         pos, vel = core_r(pos, vel, pinm, pinpos, pvec)
     return state._replace(pos=pos, vel=vel)
