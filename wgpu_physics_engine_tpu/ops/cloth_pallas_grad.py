@@ -997,15 +997,16 @@ def _bwd_call(traj, pinm, pinpos, ct_pos, ct_vel, pvec, *, h, w, n_steps,
 # ---------------------------------------------------------------------------
 
 def _default_band(h, w):
-    """Band rows for the banded transpose kernel: ~32k particles per band
-    (live temporary set ≈ 620 B/particle — tools/probes/probe_grad.py —
-    so ~20 MB/band inside the raised VMEM window), 8-row aligned, at
-    least 8. Round-5 sweep (tools/probes/probe_band512.py): wider bands
-    win monotonically but flatten — 512²: band 16/32/64/128 = 8.08 /
-    8.93 / 9.51 / 9.62 e8 p-steps/s; 256²: band 32/128 = 6.09 / 6.39e8
-    (and whole-plane 6.42e8 — banding overhead is noise-level at ~32k
-    particles/band)."""
-    return max(8, min(h, (32_768 // w) // 8 * 8))
+    """Band rows for the banded transpose kernels: ~64k particles per
+    band (live temporary set ≈ 620 B/particle —
+    tools/probes/probe_grad.py — so ~40 MB/band inside the raised VMEM
+    window), 8-row aligned, at least 8. Round-5 sweep
+    (tools/probes/probe_band512.py): wider bands win monotonically but
+    flatten — 512²: band 16/32/64/128 = 8.08/8.93/9.51/9.62e8
+    p-steps/s; 256²: band 32/128/whole = 6.09/6.39/6.42e8 (banding
+    overhead is noise-level by ~32k particles/band); streamed 1024²:
+    band 32/64 = 6.75/7.10e8."""
+    return max(8, min(h, (65_536 // w) // 8 * 8))
 
 
 @functools.lru_cache(maxsize=None)
