@@ -68,8 +68,12 @@ def test_diff_sharded_gradients_match_serial(devices8):
     from wgpu_physics_engine_tpu.core.state import ParticleState
 
     cfg = _cfg(256, grid_capacity=16)
-    n_worlds = 8
-    m = pmesh.make_mesh((8,), ("worlds",), devices8)
+    # 4 worlds over 4 devices: the serial reference unrolls one
+    # differentiable rollout PER WORLD in a single jit, so world count
+    # is pure compile cost — 4 exercises the same DP transpose psum as 8
+    # at half the suite wall-clock (was the #1 CPU-side duration)
+    n_worlds = 4
+    m = pmesh.make_mesh((n_worlds,), ("worlds",), devices8[:n_worlds])
     dt = jnp.float32(1 / 240)
     settle = jax.jit(lambda s: granular.multi_step(s, cfg, dt, 30))
     worlds = []

@@ -1,14 +1,28 @@
-"""Performance regression floor (SURVEY §4.6): particle-steps/sec/chip on
-the 256×256 cloth, asserted against a conservative floor.
+"""Performance regression floors (SURVEY §4.6): real-TPU throughput
+floors for every headline metric, asserted conservatively.
 
 The suite itself runs on the virtual CPU mesh (conftest), so the
-measurement happens in a clean subprocess that keeps the TPU platform.
-The test runs automatically wherever the axon TPU tunnel is present
+measurements happen in clean subprocesses that keep the TPU platform.
+The tests run automatically wherever the axon TPU tunnel is present
 (``PALLAS_AXON_POOL_IPS`` in the env — the harness's TPU indicator) and
 can be forced on/off with ``WPE_TPU_PERF=1`` / ``WPE_TPU_PERF=0``.
 
+Process layout (round 5, tuned for suite wall-clock — each subprocess
+start costs 15-40 s of tunnel handshake, so metrics share processes
+wherever the co-compile pattern is safe):
+
+* one KERNELS subprocess: cloth fused kernel + granular-1M + SC-256
+  floors (same kernel family, safe to co-compile);
+* one DATAGEN subprocess and one GRAD subprocess — kept isolated: the
+  one-jit datagen pipeline co-compiled with the banded trace/transpose
+  kernels is the documented worker-crash pattern (CLAUDE.md; bench.py
+  isolates for the same reason);
+* one cheap 180 s PREFLIGHT before any of them, cached module-wide —
+  with a wedged axon worker every fresh python hangs at interpreter
+  start, so without it each test would burn its full 1500 s timeout.
+
 NOTE: never run two TPU processes concurrently (CLAUDE.md) — don't run
-this while another TPU job is in flight.
+the suite while another TPU job is in flight.
 """
 
 import os
@@ -17,83 +31,59 @@ import sys
 
 import pytest
 
-_SCRIPT = r"""
+_SCRIPT_KERNELS = r"""
 import time
 import jax, jax.numpy as jnp
 import numpy as np
 import wgpu_physics_engine_tpu as eng
 from wgpu_physics_engine_tpu.ops import cloth_pallas
+from wgpu_physics_engine_tpu.models import cloth, granular
 
+# --- fused cloth kernel, 256^2 (the headline) ---
 c = eng.ClothConfig(height=256, width=256)
 params = eng.ClothParams.from_config(c)
 state = eng.init_cloth_state(c)
 dt = jnp.float32(1 / 480)
-# 10k substeps so the ~46 ms fixed tunnel dispatch doesn't dominate
-np.asarray(cloth_pallas.multi_step(state, params, dt, 10_000).pos)
+# 6k substeps so the ~46 ms fixed tunnel dispatch doesn't dominate
+np.asarray(cloth_pallas.multi_step(state, params, dt, 6_000).pos)
 best = float("inf")
-for t in range(3):
+for t in range(2):
     st = state._replace(pos=state.pos + jnp.float32(t * 1e-3))
     t0 = time.time()
-    np.asarray(cloth_pallas.multi_step(st, params, dt, 10_000).pos)
+    np.asarray(cloth_pallas.multi_step(st, params, dt, 6_000).pos)
     best = min(best, time.time() - t0)
-print("RATE", 256 * 256 * 10_000 / best)
+print("RATE", 256 * 256 * 6_000 / best, flush=True)
+
+# --- granular 1M, tuned bench schedule ---
+gcfg = granular.GranularConfig(num_particles=1_000_000, rebuild_every=16,
+                               pallas_slab=640, thin=True)
+gstate = granular.init_state(gcfg, jax.random.PRNGKey(0))
+gdt = jnp.float32(1 / 240)
+np.asarray(granular.multi_step(gstate, gcfg, gdt, 32).pos[:1, :1])
+best = float("inf")
+for _ in range(2):
+    t0 = time.time()
+    np.asarray(granular.multi_step(gstate, gcfg, gdt, 32).pos[:1, :1])
+    best = min(best, time.time() - t0)
+print("GRANULAR_RATE", 1_000_000 * 32 / best, flush=True)
+
+# --- cloth self-collision 256^2, tuned bench schedule ---
+spec = cloth.default_self_collision_grid(c, skin=0.5 * c.particle_radius)
+
+def run_sc(s):
+    return cloth.multi_step_self_collide(s, params, dt, 256, spec,
+                                         rebuild_every=32, pallas_slab=640)
+
+np.asarray(run_sc(state).pos[:1, :1, :1])
+best = float("inf")
+for t in range(2):
+    st = state._replace(pos=state.pos + jnp.float32(t * 1e-3))
+    t0 = time.time()
+    np.asarray(run_sc(st).pos[:1, :1, :1])
+    best = min(best, time.time() - t0)
+print("SC_RATE", 256 * 256 * 256 / best, flush=True)
 """
 
-
-def _tpu_available() -> bool:
-    """Detect the TPU environment WITHOUT initializing a jax backend in
-    this (CPU-forced) process: the harness exposes the axon tunnel via
-    PALLAS_AXON_POOL_IPS."""
-    flag = os.environ.get("WPE_TPU_PERF")
-    if flag is not None:
-        return flag == "1"
-    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-
-
-_PREFLIGHT: dict = {}
-
-
-def _tpu_preflight() -> str:
-    """One cheap shared health probe before any floor test spends its full
-    subprocess timeout: with a WEDGED axon worker every fresh python hangs
-    at interpreter start (sitecustomize register()), so each TPU-gated
-    test would independently burn its 1500 s timeout (~75 min of suite
-    stall). A tiny jax.devices() subprocess with a short timeout, cached
-    module-wide, turns that into one 180 s skip. Returns '' when healthy,
-    else the skip reason."""
-    if "reason" not in _PREFLIGHT:
-        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print('NDEV', len(jax.devices()))"],
-                env=env, capture_output=True, text=True, timeout=180)
-            if out.returncode == 0 and "NDEV" in out.stdout:
-                _PREFLIGHT["reason"] = ""
-            else:
-                _PREFLIGHT["reason"] = (
-                    "TPU preflight failed: " + out.stderr.strip()[-300:])
-        except subprocess.TimeoutExpired:
-            _PREFLIGHT["reason"] = (
-                "TPU preflight hung 180 s — axon tunnel/worker wedged; "
-                "rerun when the chip is healthy")
-    return _PREFLIGHT["reason"]
-
-
-@pytest.mark.skipif(not _tpu_available(),
-                    reason="no TPU detected (set WPE_TPU_PERF=1 to force)")
-def test_cloth_kernel_regression_floor():
-    vals = _run_tpu_script(_SCRIPT)
-    # measured ~5.2e9 sustained on v5e (reads lower at short launches due
-    # to the fixed dispatch cost); floor at the 1e9 BASELINE north star
-    assert vals["RATE"] >= 1.0e9, \
-        f"regression: {vals['RATE']:.3e} particle-steps/s"
-
-
-# NOTE: the grad and datagen measurements run in SEPARATE subprocesses —
-# compiling the one-jit datagen pipeline while the banded trace/transpose
-# kernels are resident is the documented worker-crash pattern (CLAUDE.md;
-# bench.py isolates its metrics for the same reason).
 _SCRIPT_GRAD = r"""
 import time
 import jax, jax.numpy as jnp
@@ -101,7 +91,7 @@ import numpy as np
 import wgpu_physics_engine_tpu as eng
 from wgpu_physics_engine_tpu.models import cloth
 
-# --- banded 256^2 backward (round 4): grad at kernel rates ---
+# --- banded 256^2 backward (rounds 4-5): grad at kernel rates ---
 c = eng.ClothConfig(height=256, width=256)
 params = eng.ClothParams.from_config(c)
 state = eng.init_cloth_state(c)
@@ -157,7 +147,54 @@ print("DATAGEN_MS", best / 512 * 1e3)
 """
 
 
-def _run_tpu_script(script):
+def _tpu_available() -> bool:
+    """Detect the TPU environment WITHOUT initializing a jax backend in
+    this (CPU-forced) process: the harness exposes the axon tunnel via
+    PALLAS_AXON_POOL_IPS."""
+    flag = os.environ.get("WPE_TPU_PERF")
+    if flag is not None:
+        return flag == "1"
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+
+
+_PREFLIGHT: dict = {}
+
+
+def _tpu_preflight() -> str:
+    """One cheap shared health probe before any floor test spends its full
+    subprocess timeout: with a WEDGED axon worker every fresh python hangs
+    at interpreter start (sitecustomize register()), so each TPU-gated
+    test would independently burn its 1500 s timeout (~75 min of suite
+    stall). A tiny jax.devices() subprocess with a short timeout, cached
+    module-wide, turns that into one 180 s skip. Returns '' when healthy,
+    else the skip reason."""
+    if "reason" not in _PREFLIGHT:
+        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print('NDEV', len(jax.devices()))"],
+                env=env, capture_output=True, text=True, timeout=180)
+            if out.returncode == 0 and "NDEV" in out.stdout:
+                _PREFLIGHT["reason"] = ""
+            else:
+                _PREFLIGHT["reason"] = (
+                    "TPU preflight failed: " + out.stderr.strip()[-300:])
+        except subprocess.TimeoutExpired:
+            _PREFLIGHT["reason"] = (
+                "TPU preflight hung 180 s — axon tunnel/worker wedged; "
+                "rerun when the chip is healthy")
+    return _PREFLIGHT["reason"]
+
+
+_RESULTS: dict = {}
+
+
+def _run_tpu_script(name, script):
+    """Run one floor subprocess, cached by name so multiple tests can
+    assert different metrics from one process."""
+    if name in _RESULTS:
+        return _RESULTS[name]
     reason = _tpu_preflight()
     if reason:
         pytest.skip(reason)
@@ -181,65 +218,21 @@ def _run_tpu_script(script):
         pytest.skip("TPU subprocess exceeded 1500s — tunnel/worker wedged "
                     "or mid-recovery; rerun when the chip is healthy")
     assert out.returncode == 0, out.stderr[-2000:]
-    return {l.split()[0]: float(l.split()[1])
-            for l in out.stdout.splitlines()
-            if l.startswith(("RATE", "GRAD_RATE", "DATAGEN_MS",
-                             "GRANULAR_RATE", "SC_RATE"))}
+    _RESULTS[name] = {l.split()[0]: float(l.split()[1])
+                      for l in out.stdout.splitlines()
+                      if l.startswith(("RATE", "GRAD_RATE", "DATAGEN_MS",
+                                       "GRANULAR_RATE", "SC_RATE"))}
+    return _RESULTS[name]
 
 
-# Granular 1M + self-collide 256² floors (round 5, VERDICT r4 item 4):
-# the two hardest-won secondary headline numbers (3.71e7 / 3.92e7) were
-# guarded only by bench.py — a kernel regression halving them would have
-# passed the suite. Same tuned schedules as bench.py's children; short
-# horizons (the floor is 3.0e7, far under the headline, so dispatch
-# overhead at short horizons doesn't matter).
-_SCRIPT_GRANULAR = r"""
-import time
-import jax, jax.numpy as jnp
-import numpy as np
-from wgpu_physics_engine_tpu.models import granular
-
-cfg = granular.GranularConfig(num_particles=1_000_000, rebuild_every=16,
-                              pallas_slab=640, thin=True)
-state = granular.init_state(cfg, jax.random.PRNGKey(0))
-dt = jnp.float32(1 / 240)
-n_steps = 32
-np.asarray(granular.multi_step(state, cfg, dt, n_steps).pos[:1, :1])
-best = float("inf")
-for _ in range(3):
-    t0 = time.time()
-    np.asarray(granular.multi_step(state, cfg, dt, n_steps).pos[:1, :1])
-    best = min(best, time.time() - t0)
-print("GRANULAR_RATE", 1_000_000 * n_steps / best)
-"""
-
-_SCRIPT_SC = r"""
-import time
-import jax, jax.numpy as jnp
-import numpy as np
-import wgpu_physics_engine_tpu as eng
-from wgpu_physics_engine_tpu.models import cloth
-
-c = eng.ClothConfig(height=256, width=256)
-params = eng.ClothParams.from_config(c)
-state = eng.init_cloth_state(c)
-spec = cloth.default_self_collision_grid(c, skin=0.5 * c.particle_radius)
-dt = jnp.float32(1 / 480)
-n_steps = 256
-
-def run(s):
-    return cloth.multi_step_self_collide(s, params, dt, n_steps, spec,
-                                         rebuild_every=32, pallas_slab=640)
-
-np.asarray(run(state).pos[:1, :1, :1])
-best = float("inf")
-for trial in range(3):
-    st = state._replace(pos=state.pos + jnp.float32(trial * 1e-3))
-    t0 = time.time()
-    np.asarray(run(st).pos[:1, :1, :1])
-    best = min(best, time.time() - t0)
-print("SC_RATE", 256 * 256 * n_steps / best)
-"""
+@pytest.mark.skipif(not _tpu_available(),
+                    reason="no TPU detected (set WPE_TPU_PERF=1 to force)")
+def test_cloth_kernel_regression_floor():
+    vals = _run_tpu_script("kernels", _SCRIPT_KERNELS)
+    # measured ~5.2e9 sustained on v5e (reads lower at short launches due
+    # to the fixed dispatch cost); floor at the 1e9 BASELINE north star
+    assert vals["RATE"] >= 1.0e9, \
+        f"regression: {vals['RATE']:.3e} particle-steps/s"
 
 
 @pytest.mark.skipif(not _tpu_available(),
@@ -248,7 +241,7 @@ def test_granular_1m_regression_floor():
     """Granular 1M floor: 3.0e7 particle-steps/s (headline 3.71e7; the
     pre-round-3 XLA path was 1.2e6, the 9-group CIV config 2.66e7 — a
     fall back to either FAILS)."""
-    vals = _run_tpu_script(_SCRIPT_GRANULAR)
+    vals = _run_tpu_script("kernels", _SCRIPT_KERNELS)
     assert vals["GRANULAR_RATE"] >= 3.0e7, \
         f"granular-1M regression: {vals['GRANULAR_RATE']:.3e}"
 
@@ -258,7 +251,7 @@ def test_granular_1m_regression_floor():
 def test_self_collide_256_regression_floor():
     """Self-collide 256² floor: 3.0e7 particle-steps/s (headline 3.92e7;
     round 2's frozen path was 7.3e6)."""
-    vals = _run_tpu_script(_SCRIPT_SC)
+    vals = _run_tpu_script("kernels", _SCRIPT_KERNELS)
     assert vals["SC_RATE"] >= 3.0e7, \
         f"self-collide regression: {vals['SC_RATE']:.3e}"
 
@@ -268,8 +261,8 @@ def test_self_collide_256_regression_floor():
 def test_banded_grad_regression_floor():
     """Banded 256² backward floor: 3e8 particle-steps/s — above the
     2.15e8 XLA fallback, so a silent VMEM-triggered fallback FAILS
-    (measured 5.8e8)."""
-    vals = _run_tpu_script(_SCRIPT_GRAD)
+    (measured 5.8-6.4e8)."""
+    vals = _run_tpu_script("grad", _SCRIPT_GRAD)
     assert vals["GRAD_RATE"] >= 3.0e8, \
         f"banded-grad regression (or XLA fallback): {vals['GRAD_RATE']:.3e}"
 
@@ -279,6 +272,6 @@ def test_banded_grad_regression_floor():
 def test_datagen_regression_floor():
     """One-jit datagen pipeline floor: 2.5 ms/world at 512 worlds (the
     VERDICT target; measured 1.16)."""
-    vals = _run_tpu_script(_SCRIPT_DATAGEN)
+    vals = _run_tpu_script("datagen", _SCRIPT_DATAGEN)
     assert vals["DATAGEN_MS"] <= 2.5, \
         f"datagen regression: {vals['DATAGEN_MS']:.2f} ms/world"
