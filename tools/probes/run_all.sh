@@ -36,4 +36,10 @@ run probe_grad probe_grad128 128
 run probe_grad2 probe_grad2
 # session-7: SC contact-kernel fixed-vs-math (slab-width) decomposition
 run probe_sc4 probe_sc4
+# round-5: grad envelope (512^2 banded band sweep + streamed 1024^2),
+# packed-candidate gather floor, end-to-end datagen with egress
+run probe_band512 grad_band512 512 64
+run probe_grad probe_grad1024 1024 64
+run probe_packed packed
+run probe_dg_e2e datagen_e2e 4096 3
 echo "ALL PROBES DONE $(date)"

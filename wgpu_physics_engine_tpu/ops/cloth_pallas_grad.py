@@ -800,29 +800,45 @@ def _bwd_kernel_stream(params_ref, traj_ref, pinm_ref, pinpos_ref,
         acc_ref[6 + t] = acc_ref[6 + t] + cr
 
     n_bands = -(-h // band)
+
+    def start_band_dma(jb):
+        """Prefetch band jb's primal rows: DMA global rows [lo, hi) of
+        this substep's trajectory entry into slot jb%2 at offset dst;
+        out-of-range halo rows are zeroed VMEM (garbage would NaN-poison
+        the vjps even under the masks). Rows disjoint from the DMA
+        target, so zeroing overlaps the copy."""
+        a = jb * band
+        nb = min(band, h - a)
+        hh = nb + 2 * P
+        lo = max(0, a - P)
+        hi = min(h, a + nb + P)
+        dst = lo - (a - P)
+        slot = jb % 2
+        cp_tr = pltpu.make_async_copy(
+            traj_ref.at[i_rev, :, lo:hi, :],
+            st_band.at[slot, :, dst:dst + (hi - lo), :], sems.at[slot])
+        cp_tr.start()
+        if dst:
+            st_band[slot, :, 0:dst] = jnp.zeros((6, dst, w), jnp.float32)
+        if dst + (hi - lo) < hh:
+            st_band[slot, :, dst + (hi - lo):hh] = jnp.zeros(
+                (6, hh - dst - (hi - lo), w), jnp.float32)
+        return cp_tr
+
+    pending = start_band_dma(0)
     for jb in range(n_bands):
         a = jb * band
         nb = min(band, h - a)
         hh = nb + 2 * P
         g0 = a - P
-        # primal band: DMA global rows [lo, hi) of this substep's
-        # trajectory entry into the slice at offset dst; out-of-range
-        # halo rows are zeroed VMEM (garbage would NaN-poison the vjps
-        # even under the masks)
-        lo = max(0, a - P)
-        hi = min(h, a + nb + P)
-        dst = lo - g0
-        cp_tr = pltpu.make_async_copy(
-            traj_ref.at[i_rev, :, lo:hi, :],
-            st_band.at[:, dst:dst + (hi - lo), :], sems.at[0])
-        cp_tr.start()
-        if dst:
-            st_band[:, 0:dst] = jnp.zeros((6, dst, w), jnp.float32)
-        if dst + (hi - lo) < hh:
-            st_band[:, dst + (hi - lo):hh] = jnp.zeros(
-                (6, hh - dst - (hi - lo), w), jnp.float32)
-        cp_tr.wait()
-        band_state = tuple(st_band[j, 0:hh] for j in range(6))
+        pending.wait()
+        if jb + 1 < n_bands:
+            # double-buffered prefetch: band jb+1's rows ride the DMA
+            # engine while band jb's re-linearization runs (slot jb+1%2
+            # was last read by band jb-1, already complete)
+            pending = start_band_dma(jb + 1)
+        slot = jb % 2
+        band_state = tuple(st_band[slot, j, 0:hh] for j in range(6))
 
         fams = []
         for dr, dc, t in cp._FAMILIES:
@@ -880,7 +896,8 @@ def _bwd_call_stream(traj, pinm, pinpos, ct_pos, ct_vel, pvec, *, h, w,
     hp = h + 2 * _BAND_PAD
     scratch = [pltpu.VMEM((6, hp, w), jnp.float32),          # ct carry
                pltpu.VMEM((6, hp, w), jnp.float32),          # ct accum
-               pltpu.VMEM((6, band + 2 * _BAND_PAD, w), jnp.float32)]
+               # primal band slices, double-buffered for DMA prefetch
+               pltpu.VMEM((2, 6, band + 2 * _BAND_PAD, w), jnp.float32)]
     if use_pins:
         scratch.append(pltpu.VMEM((3, h, w), jnp.float32))
     scratch.append(pltpu.SMEM((_NP,), jnp.float32))
