@@ -273,12 +273,24 @@ def _child_datagen(n_worlds: int = 512, n_substeps: int = 24) -> None:
     _emit({"datagen_egress_mbps": arr.nbytes / (time.time() - t0) / 1e6})
 
 
+def _child_contact() -> None:
+    """Granular-1M + self-collide-256 in ONE child (round 5): each child
+    pays the tunnel handshake/load tax — 15 s on a quiet phase, MINUTES
+    on degraded ones — and on degraded days five children overflow the
+    driver's budget, dropping metrics. The two contact workloads share a
+    kernel family and co-compile safely (tests/test_perf_regression.py's
+    consolidated floor process proved the pattern). Each metric streams
+    to the side channel the moment it lands, so a crash in the second
+    half cannot lose the first."""
+    _child_granular()
+    _child_self_collide()
+
+
 # Execution order matters: headline first (the one number the round
 # cannot lose), extras last (pure comparison points).
 _CHILDREN = {
     "cloth": _child_cloth,
-    "granular": _child_granular,
-    "self_collide": _child_self_collide,
+    "contact": _child_contact,
     "datagen": _child_datagen,
     "cloth_extras": _child_cloth_extras,
 }
